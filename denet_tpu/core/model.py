@@ -1,0 +1,409 @@
+"""Model core: desc-DSL construction, functional forward, JSON v3 I/O.
+
+TPU-native counterpart of the reference ModelCNN (denet/model/model_cnn.py).
+Differences in mechanism, parity in capability:
+
+* the layer graph is a list of static-config layer objects; compute is a pure
+  ``forward(params, state, x, ctx)`` evaluated under one ``jax.jit``,
+* SPLIT / SKIPSRC.X layers become ``jax.checkpoint`` (remat) boundaries
+  instead of separately-compiled graph fragments — same peak-memory effect,
+  single fused XLA program,
+* the ``.mdl.gz`` gzip-JSON v3 model format round-trips byte-compatibly.
+"""
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+import denet_tpu.utils as common
+import denet_tpu.utils.logging as logging
+from denet_tpu.layers.base import Ctx, InitialLayer
+
+
+class Model:
+    def __init__(self):
+        self.batch_size = 0
+        self.iteration = 0
+        self.class_labels = None
+        self.data_shape = None
+        self.class_num = 0
+        self.rng_seed = random.randint(1, 9999)
+
+        self.gradient_clip = 0.0
+        self.skip_layer_updates = []
+        self.bias_decay = False
+        self.layers = []
+        self.distort_mode = []
+        self.model_desc = None
+        self.fname = None
+        self.use_split_mode = False
+
+        # parameter / state pytrees (lists parallel to self.layers)
+        self.params = None
+        self.state = None
+
+        # extra device inputs for the next train step (e.g. sample bboxes set
+        # by DeNetSparseLayer.get_target) and the stashed inference-time
+        # sample feature map (device array)
+        self.train_aux = {}
+        self._detect_sample_feat = None
+
+        # cached jitted functions
+        self._predict_fn = None
+
+    # -- shapes --------------------------------------------------------------
+
+    def get_input_shape(self):
+        assert self.data_shape is not None, "Data shape hasn't been set!"
+        return tuple([self.batch_size] + list(self.data_shape))
+
+    def get_output_shape(self):
+        return self.layers[-1].output_shape
+
+    def get_parameter_num(self):
+        leaves = jax.tree_util.tree_leaves(self.params)
+        return int(sum(numpy.prod(l.shape) for l in leaves))
+
+    # -- construction --------------------------------------------------------
+
+    def build_layer(self, layer_desc, layers, activation, border_mode, wb):
+        """Parse one ``TYPE.TAGS[P0,P1,...]`` token (model_cnn.py:122-145)."""
+        from denet_tpu.layers.registry import layer_types
+
+        p_start = layer_desc.find("[")
+        p_end = layer_desc.find("]")
+        layer_params = {"classNum": self.class_num, "activation": activation,
+                        "borderMode": border_mode, "wb": wb}
+        if p_start > 0 and p_end > p_start:
+            layer_type = layer_desc[:p_start]
+            for i, p in enumerate(layer_desc[(p_start + 1):p_end].split(",")):
+                layer_params[i] = common.convert_num(p)
+        else:
+            layer_type = layer_desc
+
+        t_index = layer_type.find(".")
+        if t_index > 0:
+            layer_tags = layer_type[(t_index + 1):]
+            layer_type = layer_type[:t_index]
+        else:
+            layer_tags = ""
+
+        for layer in layer_types:
+            if layer.parse_desc(layers, layer_type, layer_tags, layer_params):
+                return
+        raise Exception("Invalid layer - type: %s tags: %s params: %s" % (
+            layer_type, layer_tags, layer_params))
+
+    def build(self, model_desc, data_shape, activation="relu",
+              border_mode="valid", weight_init=("he-forward",)):
+        weight_init = list(weight_init)
+        self.model_desc = " ".join(model_desc)
+        self.data_shape = tuple(data_shape)
+        self.layers = [InitialLayer(self.get_input_shape())]
+        for i, layer_desc in enumerate(model_desc):
+            wb = weight_init[min(len(weight_init) - 1, i)]
+            self.build_layer(layer_desc, self.layers, activation, border_mode, wb)
+
+        self.params = [layer.init_params() for layer in self.layers]
+        self.state = [layer.init_state() for layer in self.layers]
+        self.use_split_mode = any(l.has_split for l in self.layers)
+        logging.verbose("Number of parameters in model: %d" % self.get_parameter_num())
+
+    # -- forward -------------------------------------------------------------
+
+    def segments(self, use_remat):
+        """Layer index ranges [(start, end)); split layers open a new segment."""
+        if not (use_remat and self.use_split_mode):
+            return [(1, len(self.layers))]
+        points = [0]
+        for i, layer in enumerate(self.layers):
+            if layer.has_split:
+                points.append(i)
+        points.append(len(self.layers))
+        return [(points[i] + 1, points[i + 1] + 1) for i in range(len(points) - 1)
+                if points[i] + 1 < min(points[i + 1] + 1, len(self.layers) + 1)]
+
+    def forward(self, params, state, x, ctx, use_remat=None):
+        """Returns (outputs, new_state); ctx.collect filled with cost tensors.
+
+        ``outputs`` is a dict keyed by layer index (0 = model input) so that
+        partial forwards (corner / detect phases) compose with skip layers.
+        """
+        if use_remat is None:
+            use_remat = ctx.train
+        outputs = {0: x}
+        new_state = [{}] + [None] * (len(self.layers) - 1)
+
+        segments = self.segments(use_remat)
+        remat = use_remat and self.use_split_mode and len(segments) > 1
+        for (start, end) in segments:
+            end = min(end, len(self.layers))
+            new_keys = list(range(start, end))
+
+            def seg_fn(seg_params, seg_state, outs_dict, _start=start, _end=end):
+                seg_ctx = Ctx(train=ctx.train, rng=ctx.rng, epoch=ctx.epoch,
+                              iteration=ctx.iteration, aux=ctx.aux,
+                              compute_dtype=ctx.compute_dtype)
+                outs = dict(outs_dict)
+                ns_list = []
+                for i in range(_start, _end):
+                    y, ns = self.layers[i].apply(seg_params[i - _start],
+                                                 seg_state[i - _start],
+                                                 outs, seg_ctx)
+                    outs[i] = y
+                    ns_list.append(ns if ns else seg_state[i - _start])
+                return {k: outs[k] for k in range(_start, _end)}, ns_list, \
+                    seg_ctx.collect
+
+            seg_call = jax.checkpoint(seg_fn) if remat else seg_fn
+            new_outs, ns_list, collect = seg_call(
+                params[start:end], state[start:end], outputs)
+            outputs.update(new_outs)
+            for k, ns in zip(new_keys, ns_list):
+                new_state[k] = ns
+            ctx.collect.update(collect)
+
+        return outputs, new_state
+
+    def forward_range(self, params, state, start, seed_outputs, ctx):
+        """Apply layers[start:] given seeded earlier outputs (partial forward,
+        used for the detect phase which starts after the corner layer)."""
+        outputs = dict(seed_outputs)
+        new_state = list(state)
+        for i in range(start, len(self.layers)):
+            y, ns = self.layers[i].apply(params[i], state[i], outputs, ctx)
+            outputs[i] = y
+            new_state[i] = ns if ns else state[i]
+        return outputs, new_state
+
+    # -- detection-phase functions -------------------------------------------
+
+    def build_corner_fn(self, corner_index, train=False, return_sample=False):
+        """Jitted partial forward through the corner layer: returns
+        (corner_pr[, sample_feat]).  Replaces the reference's separately
+        compiled corner_func (denet_sparse.py:117-145); keeping sample_feat on
+        device removes its inference-time double trunk evaluation."""
+
+        def corner(params, state, x, rng):
+            ctx = Ctx(train=train, rng=rng)
+            outputs = {0: x}
+            for i in range(1, corner_index + 1):
+                y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
+                outputs[i] = y
+            collect = ctx.collect[corner_index]
+            if return_sample:
+                return collect["corner_pr"], collect["sample"]
+            return (collect["corner_pr"],)
+
+        fn = jax.jit(corner)
+        rng_holder = {"key": jax.random.PRNGKey(self.rng_seed + 7919)}
+
+        def call(params, state, x):
+            rng_holder["key"], sub = jax.random.split(rng_holder["key"])
+            return fn(params, state, x, sub)
+
+        return call
+
+    def build_detect_fn(self, detect_layer):
+        """Jitted detect phase: layers after the corner layer, fed the stashed
+        sample feature map + sample bboxes; returns detection outputs."""
+        sparse_layer = detect_layer.sparse_layer
+        corner_index = sparse_layer.corner_layer.layer_index
+
+        def detect(params, state, sample_feat, sample_bbox):
+            ctx = Ctx(train=False,
+                      aux={"sample_feat": sample_feat,
+                           "sample_bbox": sample_bbox})
+            seed = {corner_index: None}
+            self.forward_range(params, state, corner_index + 1, seed, ctx)
+            return detect_layer.detect_outputs(ctx.collect[detect_layer.layer_index])
+
+        return jax.jit(detect)
+
+    # -- cost ----------------------------------------------------------------
+
+    def cost_layers(self):
+        return [l for l in self.layers if l.has_cost()]
+
+    def loss(self, params, state, x, targets, ctx, cost_factors=None):
+        """Total cost = sum(factor_i * cost_i); returns (total, (costs, new_state))."""
+        outputs, new_state = self.forward(params, state, x, ctx)
+        clayers = self.cost_layers()
+        factors = cost_factors if cost_factors else [1.0] * len(clayers)
+        assert len(factors) == len(clayers)
+        total = jnp.float32(0.0)
+        costs = []
+        for k, layer in enumerate(clayers):
+            c = layer.cost(ctx.collect[layer.layer_index],
+                           targets[2 * k], targets[2 * k + 1])
+            costs.append(c)
+            total = total + jnp.float32(factors[k]) * c
+        return total, (costs, new_state)
+
+    def get_targets(self, data_x, metas):
+        """Host-side target generation for every cost layer (ordered)."""
+        targets = []
+        for layer in self.layers:
+            t = layer.get_target(self, data_x, metas)
+            if t is not None:
+                targets += list(t)
+        return targets
+
+    # -- prediction ----------------------------------------------------------
+
+    def predict_output_step(self, data_x):
+        if self._predict_fn is None:
+            logging.info("Building predict function")
+
+            def predict(params, state, x):
+                ctx = Ctx(train=False)
+                outputs, _ = self.forward(params, state, x, ctx, use_remat=False)
+                return outputs[len(self.layers) - 1]
+
+            self._predict_fn = jax.jit(predict)
+        return numpy.asarray(self._predict_fn(self.params, self.state,
+                                              jnp.asarray(data_x)))
+
+    def predict_output(self, dataset):
+        import math
+        dataset_x, dataset_m, dataset_size = dataset.export(self.batch_size)
+        timer = common.Timer()
+        n = math.ceil(dataset_size / self.batch_size)
+        pr = []
+        for index in range(n):
+            data_x = dataset_x[index * self.batch_size:(index + 1) * self.batch_size]
+            pr.append(self.predict_output_step(data_x))
+        pr = numpy.concatenate(pr, axis=0)
+        logging.verbose("Prediction took %.3f sec for %i samples" % (
+            timer.current(), pr.shape[0]))
+        if (dataset_size % self.batch_size) != 0:
+            pr = pr[:dataset_size]
+        return pr
+
+    def predict_label(self, dataset):
+        pr = self.predict_output(dataset)
+        assert pr.ndim == 2
+        return [int(numpy.argmax(pr[i])) for i in range(pr.shape[0])]
+
+    # -- serialization (JSON v3) ---------------------------------------------
+
+    def export_json(self):
+        json_layers = []
+        for index in range(1, len(self.layers)):
+            json_layers.append(self.layers[index].export_json(
+                self.params[index], self.state[index]))
+
+        from time import gmtime, strftime
+        import getpass
+        json_obj = {"classifierType": "CNN",
+                    "classLabels": self.class_labels,
+                    "classNum": self.class_num,
+                    "dataShape": list(self.data_shape),
+                    "date": strftime("%Y-%m-%d %H:%M:%S", gmtime()),
+                    "user": getpass.getuser(),
+                    "version": 3,
+                    "layers": json_layers}
+        return json_obj
+
+    def import_json(self, json_obj, layer_range=None):
+        if json_obj.get("version", 0) == 0:
+            raise Exception("Old format model file detected, no compatibility!")
+
+        self.class_labels = json_obj["classLabels"]
+        if "imageSize" in json_obj and "imageMode" in json_obj:
+            width, height = json_obj["imageSize"][0], json_obj["imageSize"][1]
+            mode = json_obj.get("imageMode", "RGB")
+            self.data_shape = ({"RGB": 3, "L": 1}[mode], width, height)
+        elif "dataShape" in json_obj:
+            self.data_shape = tuple(json_obj["dataShape"])
+        else:
+            raise AssertionError("Bad mdl file, cannot determine input data shape!")
+
+        self.class_num = json_obj.get("classNum", len(self.class_labels))
+
+        json_layers = json_obj["layers"]
+        if layer_range is None:
+            layer_start, layer_end = 0, len(json_layers)
+        elif isinstance(layer_range, tuple):
+            layer_start, layer_end = layer_range[0], min(len(json_layers), layer_range[1])
+        elif isinstance(layer_range, int):
+            layer_start, layer_end = 0, min(len(json_layers), layer_range)
+        else:
+            raise Exception("Unknown layer range format: %s" % (layer_range,))
+
+        from denet_tpu.layers.registry import layer_types
+        self.layers = [InitialLayer(self.get_input_shape())]
+        self.params = [{}]
+        self.state = [{}]
+        for layer_json in json_layers[layer_start:layer_end]:
+            layer = None
+            for layer_type in layer_types:
+                if layer_json["type"] == layer_type.type_name:
+                    layer = layer_type(self.layers, json_param=layer_json)
+                    break
+            assert layer is not None, "Unknown layer type: " + layer_json["type"]
+            p, s = layer.import_json(layer_json)
+            self.layers.append(layer)
+            self.params.append(p)
+            self.state.append(s)
+
+        self.use_split_mode = any(l.has_split for l in self.layers)
+        logging.info("Number of parameters in model: %d" % self.get_parameter_num())
+
+
+# -- module-level helpers (reference model_cnn.py:24-77) ---------------------
+
+def load_from_json(json_obj, batch_size=32, layer_range=None):
+    model = Model()
+    model.batch_size = batch_size
+    model.import_json(json_obj, layer_range)
+    return model
+
+
+def load_from_file(fname, batch_size=32, layer_range=None):
+    t = time.time()
+    logging.info("Loading model from %s" % fname)
+    model = load_from_json(common.json_from_gz(fname), batch_size, layer_range)
+    model.fname = fname
+    logging.verbose("Loading model took %.2f sec" % (time.time() - t))
+    return model
+
+
+def save_to_file(model, fname, compresslevel=9):
+    logging.info("Saving model to %s" % fname)
+    t = time.time()
+    common.json_to_gz(fname, model.export_json(), compresslevel)
+    logging.verbose("Saving model took %.2f sec" % (time.time() - t))
+
+
+def initialize(args, data_shape, class_labels, class_num):
+    """Build a model from CLI args (reference model_cnn.py:46-77)."""
+    if args.model is None:
+        logging.info("Building convolutional model (%i classes)..." % class_num)
+        model = Model()
+        model.batch_size = args.batch_size
+        model.class_labels = class_labels
+        model.class_num = class_num
+
+        try:
+            n = int(args.border_mode)
+            border_mode = n
+        except ValueError:
+            border_mode = args.border_mode
+
+        model.build(args.model_desc, data_shape, args.activation, border_mode,
+                    list(args.weight_init))
+    else:
+        model = load_from_file(args.model, args.batch_size)
+        model.class_labels = class_labels
+        model.class_num = class_num
+        assert tuple(data_shape) == tuple(model.data_shape), \
+            "Mismatching data shapes in .mdl and data: %s != %s" % (
+                data_shape, model.data_shape)
+
+    model.skip_layer_updates = args.skip_layer_updates
+    if len(model.skip_layer_updates) > 0:
+        logging.info("Skipping layer updates:", model.skip_layer_updates)
+    return model

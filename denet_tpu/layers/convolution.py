@@ -1,0 +1,152 @@
+"""Convolution layer (`C` desc token).
+
+Semantics match the reference (denet/layer/convolution.py): OIHW weights,
+border modes valid/full/half/same/int-pad, He/Xavier init selected by the
+``wb`` string, optional bias (``.B`` tag), non-square filters (``.X`` tag).
+
+Note on kernel orientation: Theano's conv2d performs *true convolution*
+(kernel spatially flipped) while XLA performs correlation.  To keep the
+serialized OIHW weights bit-compatible with reference ``.mdl.gz`` files the
+kernel is flipped inside ``apply`` — XLA fuses the reversal into the conv.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+from denet_tpu.layers.base import Layer, conv_weight_init, to_f32
+
+_DIMNUMS = ("NCHW", "OIHW", "NCHW")
+
+
+def conv_output_hw(input_shape, filter_shape, stride, border_mode):
+    """Output (h, w) given NCHW input shape and OIHW filter shape.
+
+    Matches reference arithmetic (convolution.py:55-74) — note it indexes
+    input_shape[-2]/[-1]; all uses are square so h/w naming is interchangeable.
+    """
+    ih, iw = input_shape[-2], input_shape[-1]
+    kh, kw = filter_shape[2], filter_shape[3]
+    if border_mode == "valid":
+        h = math.ceil((ih - kh + 1) / stride[0])
+        w = math.ceil((iw - kw + 1) / stride[1])
+    elif border_mode == "full":
+        h = math.ceil((ih + kh - 1) / stride[0])
+        w = math.ceil((iw + kw - 1) / stride[1])
+    elif border_mode == "half":
+        h = math.ceil((ih + 2 * (kh // 2) - kh + 1) / stride[0])
+        w = math.ceil((iw + 2 * (kw // 2) - kw + 1) / stride[1])
+    elif border_mode == "same":
+        assert tuple(stride) == (1, 1)
+        h, w = ih, iw
+    elif isinstance(border_mode, int):
+        h = math.ceil((ih + 2 * border_mode - kh + 1) / stride[0])
+        w = math.ceil((iw + 2 * border_mode - kw + 1) / stride[1])
+    else:
+        raise Exception("Unknown border mode: " + str(border_mode))
+    return h, w
+
+
+def conv_padding(filter_shape, border_mode):
+    """Explicit ((lo,hi),(lo,hi)) padding equivalent to each border mode."""
+    kh, kw = filter_shape[2], filter_shape[3]
+    if border_mode == "valid":
+        return ((0, 0), (0, 0))
+    if border_mode == "full":
+        return ((kh - 1, kh - 1), (kw - 1, kw - 1))
+    if border_mode == "half":
+        return ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    if border_mode == "same":
+        # reference: full conv cropped starting at (k-1)//2 (convolution.py:77-80)
+        return ((kh - 1 - (kh - 1) // 2, (kh - 1) // 2),
+                (kw - 1 - (kw - 1) // 2, (kw - 1) // 2))
+    if isinstance(border_mode, int):
+        return ((border_mode, border_mode), (border_mode, border_mode))
+    raise Exception("Unknown border mode: " + str(border_mode))
+
+
+class ConvLayer(Layer):
+    type_name = "conv"
+
+    def __init__(self, layers, filter_shape=None, filter_stride=(1, 1),
+                 use_bias=False, border_mode="half", wb="he-backward",
+                 json_param=None):
+        super().__init__(layers)
+        json_param = json_param or {}
+
+        self.border_mode = json_param.get("border", border_mode)
+        self.filter_shape = tuple(json_param.get("shape", filter_shape))
+        self.stride = tuple(json_param.get("stride", filter_stride))
+        self.use_bias = json_param.get("useBias", use_bias)
+        self.enabled = json_param.get("enabled", True)
+        self.size = (self.filter_shape[2], self.filter_shape[3])
+
+        w, self.w_bound = conv_weight_init(self.filter_shape, wb)
+        self._w_init = w
+        self._b_init = numpy.zeros((self.filter_shape[0],), dtype=numpy.float32)
+
+        h, w_out = conv_output_hw(self.input_shape, self.filter_shape,
+                                  self.stride, self.border_mode)
+        self.output_shape = (self.input_shape[0], self.filter_shape[0], h, w_out)
+
+    def _own_params(self):
+        if not self.enabled:
+            return {}
+        p = {"weight": self._w_init}
+        if self.use_bias:
+            p["bias"] = self._b_init
+        return p
+
+    def apply(self, params, state, outputs, ctx):
+        x = outputs[self.input_index]
+        w = params["weight"]
+        if ctx.compute_dtype is not None:
+            x = x.astype(ctx.compute_dtype)
+            w = w.astype(ctx.compute_dtype)
+        # Theano true-convolution == XLA correlation with flipped kernel
+        w = jnp.flip(w, axis=(2, 3))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=self.stride,
+            padding=conv_padding(self.filter_shape, self.border_mode),
+            dimension_numbers=_DIMNUMS,
+            preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + params["bias"][None, :, None, None]
+        return y, {}
+
+    @staticmethod
+    def parse_desc(layers, name, tags, params):
+        if name != "C":
+            return False
+        use_bias = "B" in tags
+        if "X" in tags:
+            filter_shape = (params.get(0), layers[-1].output_shape[1],
+                            params.get(1), params.get(2))
+            filter_stride = (params.get(3, 1), params.get(4, 1))
+        else:
+            filter_shape = (params.get(0), layers[-1].output_shape[1],
+                            params.get(1, 1), params.get(1, 1))
+            filter_stride = (params.get(2, 1), params.get(2, 1))
+        layers.append(ConvLayer(layers, filter_shape, filter_stride, use_bias,
+                                params["borderMode"], params["wb"]))
+        return True
+
+    def export_json(self, params, state):
+        j = super().export_json(params, state)
+        j.update({"shape": list(self.filter_shape),
+                  "stride": list(self.stride),
+                  "border": self.border_mode,
+                  "enabled": self.enabled,
+                  "useBias": self.use_bias,
+                  "bias": numpy.asarray(params["bias"]) if self.use_bias else None,
+                  "weight": numpy.asarray(params["weight"])})
+        return j
+
+    def _own_import(self, json_param):
+        p = {}
+        if self.enabled:
+            p["weight"] = to_f32(json_param["weight"])
+            if self.use_bias:
+                p["bias"] = to_f32(json_param["bias"])
+        return p, {}

@@ -1,0 +1,421 @@
+"""DeNet final detection head (`DND` desc token).
+
+Reference: denet/layer/denet_detect.py — 1x1 conv over the sparse-sampled RoI
+features producing class scores (+null), optional bbox regression (4ch) and
+optional independent-fitness (6ch); the joint-fitness variant scores
+class x 5-fitness-bin + null.  Costs: NLL detection, Fast-RCNN smooth-L1 OR
+Bounded-IoU bbox cost (arXiv:1711.00164; note the reference's own
+"ORIGINAL Paper used 4*dx, proper is 2*dx" correction, denet_detect.py:281),
+independent-fitness NLL.  Inference marginalizes joint-fitness scores and
+runs per-class NMS / Soft-NMS in the native host extension.
+"""
+import math
+
+import jax.numpy as jnp
+import numpy
+
+import denet_tpu.utils as common
+import denet_tpu.utils.logging as logging
+from denet_tpu.layers.base import InitialLayer, Layer, log_softmax, smooth_l1
+from denet_tpu.layers.convolution import ConvLayer
+from denet_tpu.ops import native
+
+# running FPS accounting (reference denet_detect.py:17-19)
+detect_time = 0.0
+detect_num = 0
+
+
+class DeNetDetectLayer(Layer):
+    type_name = "denet-detect"
+
+    def __init__(self, layers, class_num=10, overlap_threshold=0.5,
+                 cost_factor=1.0, bbox_factor=0.0, indfit_factor=0.0,
+                 use_jointfit=False, use_bounded_iou=False, json_param=None):
+        super().__init__(layers)
+        json_param = json_param or {}
+
+        self.output_shape = self.input_shape
+        self.cost_factor = json_param.get("costFactor", cost_factor)
+        self.bbox_factor = json_param.get("bboxFactor", bbox_factor)
+        self.class_num = json_param.get("classNum", class_num)
+        ot = json_param.get("overlapThreshold", overlap_threshold)
+        self.overlap_threshold = (ot, ot) if isinstance(ot, (int, float)) else tuple(ot)
+
+        self.use_jointfit = json_param.get("useJointFitness", use_jointfit)
+        self.use_bounded_iou = json_param.get("useBoundedIoU", use_bounded_iou)
+        self.indfit_factor = json_param.get("fitnessFactor", indfit_factor)
+        self.use_indfit = self.indfit_factor > 0.0
+        assert not (self.use_indfit and self.use_jointfit), \
+            "Cannot enable both fitness methods at once!"
+
+        self.sparse_layer = common.find_layers(layers, "denet-sparse", False)
+        assert self.sparse_layer is not None, \
+            "Requires denet-sparse layer before denet-detect layer!"
+
+        self.use_bbox_reg = self.bbox_factor > 0.0
+        self.batch_size = self.sparse_layer.batch_size
+        self.sample_num = self.sparse_layer.sample_num
+
+        if self.use_jointfit:
+            self.fitness_num = 5
+            self.null_class = self.class_num * self.fitness_num
+            s0 = self.class_num * self.fitness_num + 1
+        else:
+            self.fitness_num = 6
+            self.null_class = self.class_num
+            s0 = self.class_num + 1
+        self.s0 = s0
+        self.s1 = 4 if self.use_bbox_reg else 0
+        self.s2 = self.fitness_num if self.use_indfit else 0
+
+        subs = [InitialLayer(self.input_shape)]
+        subs.append(ConvLayer(subs, (s0 + self.s1 + self.s2,
+                                     self.input_shape[1], 1, 1),
+                              (1, 1), True, "valid", 0.0))
+        self.sublayers = subs
+
+        self.det_shape = (self.batch_size, s0, self.sample_num, self.sample_num)
+        self.indfit_shape = (self.batch_size, self.s2, self.sample_num,
+                             self.sample_num)
+
+        self._detect_fn = None
+        logging.verbose("Adding", self)
+
+    def apply(self, params, state, outputs, ctx):
+        x = outputs[self.input_index]
+        outs, new_states = self._apply_sublayers(params, state, x, ctx)
+        y = outs[-1].astype(jnp.float32)
+        s0, s1, s2 = self.s0, self.s1, self.s2
+
+        det_lh = y[:, :s0]
+        det_pr = log_softmax(det_lh, axis=1)
+        collect = {"det_pr": det_pr}
+
+        if self.use_bbox_reg:
+            bbox_reg = y[:, s0:s0 + s1]
+            sample_bbox = ctx.aux["sample_bbox"]
+            sample_cx = 0.5 * (sample_bbox[..., 0] + sample_bbox[..., 2])
+            sample_cy = 0.5 * (sample_bbox[..., 1] + sample_bbox[..., 3])
+            sample_w = sample_bbox[..., 2] - sample_bbox[..., 0]
+            sample_h = sample_bbox[..., 3] - sample_bbox[..., 1]
+            predict_cx = bbox_reg[:, 0] * sample_w + sample_cx
+            predict_cy = bbox_reg[:, 1] * sample_h + sample_cy
+            predict_w = jnp.exp(bbox_reg[:, 2]) * sample_w
+            predict_h = jnp.exp(bbox_reg[:, 3]) * sample_h
+            bbox_predict = jnp.stack(
+                [predict_cx - predict_w * 0.5, predict_cy - predict_h * 0.5,
+                 predict_cx + predict_w * 0.5, predict_cy + predict_h * 0.5],
+                axis=-1)
+            collect["bbox_reg"] = bbox_reg
+            collect["bbox_predict"] = bbox_predict
+
+        if self.use_indfit:
+            indfit_lh = y[:, s0 + s1:s0 + s1 + s2]
+            collect["indfit_pr"] = log_softmax(indfit_lh, axis=1)
+
+        ctx.collect[self.layer_index] = collect
+        return x, {"layers": new_states}
+
+    @staticmethod
+    def parse_desc(layers, name, tags, params):
+        if name != "DND":
+            return False
+        layers.append(DeNetDetectLayer(
+            layers, params.get("classNum"), params.get(0, 0.5),
+            params.get(1, 1.0), params.get(2, 0.0), params.get(3, 0.0),
+            "J" in tags, "B" in tags))
+        return True
+
+    # -- serialization: reference stores only the conv in "layers" -----------
+
+    def export_json(self, params, state):
+        j = {"type": self.type_name,
+             "layers": [self.sublayers[1].export_json(
+                 params["layers"][1], state["layers"][1])]}
+        j.update({"costFactor": self.cost_factor, "bboxFactor": self.bbox_factor,
+                  "fitnessFactor": self.indfit_factor,
+                  "useJointFitness": self.use_jointfit,
+                  "useBoundedIoU": self.use_bounded_iou,
+                  "classNum": self.class_num,
+                  "overlapThreshold": list(self.overlap_threshold)})
+        return j
+
+    def import_json(self, json_param):
+        conv = self.sublayers[1]
+        if "conv" in json_param:        # backward compat (denet_detect.py:129-134)
+            cp, cs = conv.import_json(json_param["conv"])
+        elif json_param.get("layers"):
+            cp, cs = conv.import_json(json_param["layers"][0])
+        else:
+            cp, cs = conv.init_params(), conv.init_state()
+        return ({"layers": [{}, cp]}, {"layers": [{}, cs]})
+
+    # -- training ------------------------------------------------------------
+
+    def has_cost(self):
+        return True
+
+    def target_sizes(self):
+        n = int(numpy.prod(self.det_shape))
+        if self.use_bbox_reg:
+            n += self.batch_size * self.sample_num * self.sample_num * 9
+        if self.use_indfit:
+            n += int(numpy.prod(self.indfit_shape))
+        return (0, n)
+
+    def get_target(self, model, data_x, metas):
+        sn = self.sample_num
+        det_pr = numpy.zeros(self.det_shape, dtype=numpy.float32)
+        det_pr[:, self.null_class] = 1.0
+
+        if self.use_bbox_reg:
+            bbox_valid = numpy.zeros((self.batch_size, sn, sn), dtype=numpy.float32)
+            bbox_reg = numpy.zeros((self.batch_size, 8, sn, sn), dtype=numpy.float32)
+            bbox_reg[:, 2] = 1.0
+            bbox_reg[:, 3] = 1.0
+            bbox_reg[:, 6] = 1.0
+            bbox_reg[:, 7] = 1.0
+
+        if self.use_indfit:
+            indfit_pr = numpy.zeros(self.indfit_shape, dtype=numpy.float32)
+            indfit_pr[:, 0] = 1.0
+
+        for b, meta in enumerate(metas):
+            samples = [bbox for _, bbox in self.sparse_layer.sample_bbox_list[b]]
+            if len(meta["bbox"]) > 0 and len(samples) > 0:
+                overlap = common.iou_matrix(meta["bbox"], samples)
+                bbox_indexs, sample_indexs = numpy.where(
+                    overlap > self.overlap_threshold[0])
+                for obj, index in zip(bbox_indexs.tolist(), sample_indexs.tolist()):
+                    si = index % sn
+                    sj = index // sn
+                    cls = meta["class"][obj]
+                    f_rel = (overlap[obj, index] - self.overlap_threshold[0]) / \
+                        (1.0 - self.overlap_threshold[0])
+
+                    if self.use_jointfit:
+                        f = max(0, min(int(self.fitness_num * f_rel),
+                                       self.fitness_num - 1))
+                        det_pr[b, cls * self.fitness_num + f, sj, si] = 1.0
+                        det_pr[b, self.null_class, sj, si] = 0.0
+                    else:
+                        det_pr[b, cls, sj, si] = 1.0
+                        det_pr[b, self.null_class, sj, si] = 0.0
+
+                    if self.use_indfit:
+                        f = 1 + int(math.floor((self.fitness_num - 1) * f_rel))
+                        f = max(1, min(f, self.fitness_num - 1))
+                        indfit_pr[b, 0, sj, si] = 0.0
+                        indfit_pr[b, f, sj, si] = 1.0
+
+                if self.use_bbox_reg:
+                    overlap_max = overlap.argmax(axis=0)
+                    for index in range(len(samples)):
+                        obj = overlap_max[index]
+                        if overlap[obj, index] <= self.overlap_threshold[1]:
+                            continue
+                        sample = samples[index]
+                        target = meta["bbox"][obj]
+                        si = index % sn
+                        sj = index // sn
+                        bbox_valid[b, sj, si] = 1.0
+                        bbox_reg[b, 0, sj, si] = 0.5 * (target[0] + target[2])
+                        bbox_reg[b, 1, sj, si] = 0.5 * (target[1] + target[3])
+                        bbox_reg[b, 2, sj, si] = target[2] - target[0]
+                        bbox_reg[b, 3, sj, si] = target[3] - target[1]
+                        bbox_reg[b, 4, sj, si] = 0.5 * (sample[0] + sample[2])
+                        bbox_reg[b, 5, sj, si] = 0.5 * (sample[1] + sample[3])
+                        bbox_reg[b, 6, sj, si] = sample[2] - sample[0]
+                        bbox_reg[b, 7, sj, si] = sample[3] - sample[1]
+
+        det_pr /= det_pr.sum(axis=1)[:, None]
+        if self.use_indfit:
+            indfit_pr /= indfit_pr.sum(axis=1)[:, None]
+
+        nfactor = sn * sn
+        det_pr /= nfactor
+        parts = [det_pr.flatten()]
+        if self.use_bbox_reg:
+            bbox_valid /= nfactor
+            parts += [bbox_valid.flatten(), bbox_reg.flatten()]
+        if self.use_indfit:
+            indfit_pr /= nfactor
+            parts.append(indfit_pr.flatten())
+
+        return (numpy.array([], dtype=numpy.int64),
+                numpy.concatenate(parts).astype(numpy.float32))
+
+    def get_errors(self, collect, yt_index, yt_value):
+        sn = self.sample_num
+        shapes = [self.det_shape]
+        if self.use_bbox_reg:
+            shapes += [(self.batch_size, sn, sn), (self.batch_size, 8, sn, sn)]
+        if self.use_indfit:
+            shapes += [self.indfit_shape]
+
+        v = common.ndarray_unpack(yt_value, shapes)
+        det_target = v[0]
+        index = 1
+        if self.use_bbox_reg:
+            bbox_valid, bbox_reg_t = v[index:index + 2]
+            index += 2
+        if self.use_indfit:
+            indfit_target = v[index]
+
+        det_errors = -jnp.sum(det_target * collect["det_pr"], axis=1) / \
+            math.log(self.det_shape[1])
+
+        bbox_errors = None
+        if self.use_bbox_reg and self.bbox_factor > 0.0:
+            bbox_target = bbox_reg_t[:, 0:4]
+            bbox_sample = bbox_reg_t[:, 4:8]
+            if self.use_bounded_iou:
+                bbox_predict = collect["bbox_predict"]
+                target_x = bbox_target[:, 0]
+                target_y = bbox_target[:, 1]
+                target_w = bbox_target[:, 2]
+                target_h = bbox_target[:, 3]
+                predict_x = 0.5 * (bbox_predict[..., 0] + bbox_predict[..., 2])
+                predict_y = 0.5 * (bbox_predict[..., 1] + bbox_predict[..., 3])
+                predict_w = bbox_predict[..., 2] - bbox_predict[..., 0]
+                predict_h = bbox_predict[..., 3] - bbox_predict[..., 1]
+
+                dx = target_x - predict_x
+                dy = target_y - predict_y
+                eps = 0.001
+                cost_x = jnp.where(dx >= 0.0, 2 * dx / (target_w + dx + eps),
+                                   -2 * dx / (target_w - dx + eps))
+                cost_y = jnp.where(dy >= 0.0, 2 * dy / (target_h + dy + eps),
+                                   -2 * dy / (target_h - dy + eps))
+                cost_w = 1.0 - jnp.minimum(target_w / (predict_w + eps),
+                                           predict_w / (target_w + eps))
+                cost_h = 1.0 - jnp.minimum(target_h / (predict_h + eps),
+                                           predict_h / (target_h + eps))
+                cost = jnp.stack([cost_x, cost_y, cost_w, cost_h], axis=1)
+                bbox_errors = self.bbox_factor * bbox_valid * \
+                    jnp.sum(smooth_l1(cost), axis=1)
+            else:
+                # standard Fast R-CNN style cost
+                tx = (bbox_target[:, 0] - bbox_sample[:, 0]) / bbox_sample[:, 2]
+                ty = (bbox_target[:, 1] - bbox_sample[:, 1]) / bbox_sample[:, 3]
+                tw = jnp.log(bbox_target[:, 2] / bbox_sample[:, 2])
+                th = jnp.log(bbox_target[:, 3] / bbox_sample[:, 3])
+                t = jnp.stack([tx, ty, tw, th], axis=1)
+                dt = t - collect["bbox_reg"]
+                bbox_errors = self.bbox_factor * bbox_valid * \
+                    jnp.sum(smooth_l1(dt), axis=1)
+
+        indfit_errors = None
+        if self.use_indfit:
+            indfit_errors = -jnp.sum(indfit_target * collect["indfit_pr"],
+                                     axis=1) / math.log(self.fitness_num)
+
+        return det_errors, bbox_errors, indfit_errors
+
+    def cost(self, collect, yt_index, yt_value):
+        det_errors, bbox_errors, indfit_errors = self.get_errors(
+            collect, yt_index, yt_value)
+        cost = jnp.float32(0.0)
+        if det_errors is not None:
+            cost += self.cost_factor * jnp.sum(det_errors) / self.batch_size
+        if bbox_errors is not None:
+            cost += self.bbox_factor * jnp.sum(bbox_errors) / self.batch_size
+        if indfit_errors is not None:
+            cost += self.indfit_factor * jnp.sum(indfit_errors) / self.batch_size
+        return cost
+
+    # -- inference -----------------------------------------------------------
+
+    def detect_outputs(self, collect):
+        """Device-side detect outputs (traced) from this layer's collect dict:
+        returns dict with det_pr (B,C+1,sn,sn), fitness (B,C+1,sn,sn),
+        optional bbox (B,sn,sn,4)."""
+        out = {}
+        det_pr_full = collect["det_pr"]
+        if self.use_jointfit:
+            b, sn = self.batch_size, self.sample_num
+            det_fit = det_pr_full[:, :self.class_num * self.fitness_num]
+            det_fit = det_fit.reshape(b, self.class_num, self.fitness_num, sn, sn)
+            det_fit_null = det_pr_full[:, self.null_class]
+
+            m = jnp.max(det_fit, axis=2)
+            det_pr = m + jnp.log(jnp.sum(jnp.exp(det_fit - m[:, :, None]), axis=2))
+            det_pr = jnp.concatenate([det_pr, det_fit_null[:, None]], axis=1)
+            out["det_pr"] = det_pr
+
+            ot = self.overlap_threshold[0]
+            val = jnp.asarray([ot + i * (1.0 - ot) / self.fitness_num
+                               for i in range(self.fitness_num)], dtype=jnp.float32)
+            fitness = jnp.log(jnp.sum(jnp.exp(det_fit) *
+                                      val[None, None, :, None, None], axis=2))
+            # pad a null channel so fitness matches det_pr layout for the NMS op
+            fitness = jnp.concatenate([fitness, det_fit_null[:, None]], axis=1)
+            out["fitness"] = fitness
+        else:
+            out["det_pr"] = det_pr_full
+            out["fitness"] = det_pr_full
+
+        if self.use_bbox_reg:
+            out["bbox"] = collect["bbox_predict"]
+        if self.use_indfit:
+            ot = self.overlap_threshold[0]
+            val = numpy.array([0.0] + [ot + i * (1.0 - ot) / (self.fitness_num - 1)
+                                       for i in range(self.fitness_num - 1)],
+                              dtype=numpy.float32)
+            fitness_exp = jnp.sum(jnp.exp(collect["indfit_pr"]) *
+                                  jnp.asarray(val)[None, :, None, None], axis=1)
+            out["fitness"] = out["fitness"] + jnp.log(fitness_exp)[:, None]
+        return out
+
+    def get_detections(self, model, data_x, data_m, params):
+        global detect_time, detect_num
+
+        pr_threshold = params.get("prThreshold", 0.01)
+        nms_threshold = params.get("nmsThreshold", 0.5)
+        use_soft_nms = params.get("useSoftNMS", 0) == 1
+        logging.verbose("Using detection params - pr threshold: %f, "
+                        "nms threshold: %f" % (pr_threshold, nms_threshold))
+
+        first_detect = self._detect_fn is None
+        if first_detect:
+            logging.info("Building detection function")
+            self._detect_fn = model.build_detect_fn(self)
+
+        timer = common.Timer()
+        sample_bboxs = self.sparse_layer.get_samples(model, data_x, train=False,
+                                                     store_shared=True)
+        timer.mark()
+        logging.verbose("Found sample bboxs: {}".format(
+            [len(bbox) for bbox in sample_bboxs]))
+
+        bboxs = self.sparse_layer.get_bbox_array(sample_bboxs)
+        timer.mark()
+
+        r = self._detect_fn(model.params, model.state,
+                            model._detect_sample_feat, jnp.asarray(bboxs))
+        det_pr = numpy.asarray(r["det_pr"])
+        fitness = numpy.asarray(r["fitness"])
+        if "bbox" in r:
+            bboxs = numpy.asarray(r["bbox"])
+        timer.mark()
+
+        sample_bbox_num = [len(s) for s in sample_bboxs]
+        detlists = native.build_detections_nms(
+            pr_threshold, nms_threshold, use_soft_nms, det_pr, fitness, bboxs,
+            sample_bbox_num)
+        timer.mark()
+
+        logging.verbose("Found detections:", [len(d) for d in detlists])
+        logging.verbose("FPS=%.1f, Timing (ms) - get samples: %i, upload: %i, "
+                        "classify: %i, build+nms %i" % tuple(
+                            [self.batch_size / timer.current()] + timer.deltas_ms()))
+
+        if not first_detect:
+            detect_time += timer.current()
+            detect_num += self.batch_size
+            logging.info("Average FPS=%.1f" % (detect_num / detect_time))
+
+        results = []
+        for i, detlist in enumerate(detlists):
+            results.append({"detections": detlist, "meta": data_m[i]})
+        return results

@@ -1,0 +1,188 @@
+"""DeNet directed-sparse-sampling layer (`DNS` desc token).
+
+Reference: denet/layer/denet_sparse.py + denet_sparse_op.py + the host C++
+search (denet_sparse.cc).  Per training/inference step:
+
+  1. a jitted *corner function* runs the trunk through the corner layer and
+     returns the corner log-prob heatmaps (and, at inference, the sample
+     feature map which stays on device for the detect phase),
+  2. the native host extension pairs thresholded corners into candidate
+     bboxes (``denet_tpu.ops.native.build_samples``),
+  3. training only: ground-truth coverage bookkeeping, random-sample padding
+     and gt-bbox injection (denet_sparse.py:164-206),
+  4. the device gather (``denet_tpu.ops.sparse_gather``) samples a gs x gs
+     nearest-neighbour grid per bbox producing (B, F*gs^2+2, sn, sn).
+
+The sample bbox array enters the jitted step as a regular device input
+(``ctx.aux["sample_bbox"]``) instead of a mutated shared variable.
+"""
+import math
+import random
+
+import jax.numpy as jnp
+import numpy
+
+import denet_tpu.utils as common
+import denet_tpu.utils.logging as logging
+from denet_tpu.layers.base import Layer
+from denet_tpu.ops.sparse_gather import sparse_gather
+from denet_tpu.ops import native
+
+
+class DeNetSparseLayer(Layer):
+    type_name = "denet-sparse"
+
+    def __init__(self, layers, grid_size=3, sample_num=16, corner_threshold=0.01,
+                 random_sample=0.0, local_max=0, nms_threshold=0.7,
+                 sample_gt=True, version="v2", json_param=None):
+        super().__init__(layers)
+        json_param = json_param or {}
+
+        self.batch_size = self.input_shape[0]
+        self.grid_size = json_param.get("gridSize", grid_size)
+        self.sample_num = json_param.get("sampleNum", sample_num)
+        self.sample_gt = json_param.get("sampleGT", sample_gt)
+        self.corner_threshold = json_param.get("cornerThreshold", corner_threshold)
+        self.nms_threshold = json_param.get("nmsThreshold", nms_threshold)
+        self.random_sample = json_param.get("randomSample", random_sample)
+        self.local_max = json_param.get("localMax", local_max)
+        self.version = json_param.get("version", version)
+
+        self.corner_max = 1024
+        self.thread_num = self.batch_size
+        self.sample_count = self.sample_num * self.sample_num
+
+        self.corner_layer = common.find_layers(layers, "denet-corner", True)
+        assert self.corner_layer is not None, \
+            "denet-corner layer required before sparse layer!"
+
+        self.sample_bbox_list = []
+        self.output_feat = (self.grid_size * self.grid_size *
+                            self.corner_layer.sample_shape[1] + 2)
+        self.output_shape = (self.batch_size, self.output_feat,
+                             self.sample_num, self.sample_num)
+
+        self._corner_fn = {}
+        logging.verbose("Adding", self)
+
+    def apply(self, params, state, outputs, ctx):
+        corner_idx = self.corner_layer.layer_index
+        if corner_idx in ctx.collect:
+            sample_input = ctx.collect[corner_idx]["sample"]
+        else:
+            # detect phase: corner pass already ran; features arrive as input
+            sample_input = ctx.aux["sample_feat"]
+        sample_bbox = ctx.aux["sample_bbox"]
+        y = sparse_gather(sample_input, sample_bbox, self.grid_size)
+        return y, {}
+
+    @staticmethod
+    def parse_desc(layers, name, tags, params):
+        if name != "DNS":
+            return False
+        layers.append(DeNetSparseLayer(
+            layers, params.get(0, 3), params.get(1, 4), params.get(2, 0.01),
+            params.get(3, 0.1), params.get(4, 0), params.get(5, 1.0),
+            "G" not in tags))
+        return True
+
+    # -- host pipeline -------------------------------------------------------
+
+    def get_samples(self, model, data_x, train=False, store_shared=False):
+        """Run the corner function + native corner search.
+
+        Returns per-image lists of (pr, bbox).  When ``store_shared`` the
+        sample feature map is kept on device (model._detect_sample_feat) for
+        the detect phase — replacing the reference's sample_shared stash and
+        avoiding its double trunk evaluation (denet_sparse.py:117-145).
+        """
+        key = (train, store_shared)
+        if key not in self._corner_fn:
+            logging.verbose("Building corner function - store samples:",
+                            store_shared, "train:", train)
+            self._corner_fn[key] = model.build_corner_fn(
+                self.corner_layer.layer_index, train=train,
+                return_sample=store_shared)
+
+        timer = common.Timer()
+        result = self._corner_fn[key](model.params, model.state,
+                                      jnp.asarray(data_x))
+        if store_shared:
+            corner_pr, sample_feat = result
+            model._detect_sample_feat = sample_feat
+        else:
+            corner_pr = result[0]
+        corner_pr = numpy.asarray(corner_pr)
+
+        timer.mark()
+        samples = native.build_samples(
+            self.thread_num, corner_pr, self.corner_threshold, self.sample_num,
+            self.corner_max, self.local_max, self.nms_threshold)
+        timer.mark()
+        logging.verbose("Took %i ms to get_samples (%i model, %i build, "
+                        "%i max corners)" % (timer.current_ms(), timer.delta_ms(0),
+                                             timer.delta_ms(1), self.corner_max))
+        return samples
+
+    def get_bbox_array(self, sample_bboxs):
+        bboxs = numpy.zeros((self.batch_size, self.sample_num, self.sample_num, 4),
+                            dtype=numpy.float32)
+        for b in range(self.batch_size):
+            for i, (_, bbox) in enumerate(sample_bboxs[b]):
+                bboxs[b, i // self.sample_num, i % self.sample_num] = bbox
+        return bboxs
+
+    def set_samples(self, model, sample_bboxs):
+        bboxs = self.get_bbox_array(sample_bboxs)
+        model.train_aux["sample_bbox"] = jnp.asarray(bboxs)
+        self.sample_bbox_list = sample_bboxs
+        return bboxs
+
+    # -- training ------------------------------------------------------------
+
+    def get_target(self, model, data_x, metas):
+        """Training-path sample selection (denet_sparse.py:164-206)."""
+        sample_bboxs = self.get_samples(model, data_x, train=True)
+
+        total_cover = 0
+        total_bbox = 0
+        for b, meta in enumerate(metas):
+            cover = 0
+            for meta_bbox in meta["bbox"]:
+                for _, sample_bbox in sample_bboxs[b]:
+                    if common.overlap_iou(meta_bbox, sample_bbox) > 0.5:
+                        cover += 1
+                        break
+            total_cover += cover
+            total_bbox += len(meta["bbox"])
+
+            n = self.sample_count - math.floor(self.random_sample * self.sample_count)
+            if len(sample_bboxs[b]) > n:
+                sample_bboxs[b] = random.sample(sample_bboxs[b], n)
+
+            while len(sample_bboxs[b]) < self.sample_count:
+                x0 = random.uniform(0.0, 1.0)
+                y0 = random.uniform(0.0, 1.0)
+                x1 = random.uniform(x0, 1.0)
+                y1 = random.uniform(y0, 1.0)
+                sample_bboxs[b].append((0.0, (x0, y0, x1, y1)))
+
+            if self.sample_gt:
+                for index, bbox in enumerate(meta["bbox"]):
+                    sample_bboxs[b][-(index + 1)] = (1.0, tuple(bbox))
+
+        if total_bbox > 0:
+            logging.verbose("Overall %i/%i (%.2f%%) coverage" % (
+                total_cover, total_bbox, 100.0 * total_cover / total_bbox))
+
+        self.set_samples(model, sample_bboxs)
+        return None
+
+    def export_json(self, params, state):
+        j = super().export_json(params, state)
+        j.update({"gridSize": self.grid_size, "sampleNum": self.sample_num,
+                  "sampleGT": self.sample_gt, "localMax": self.local_max,
+                  "cornerThreshold": self.corner_threshold,
+                  "randomSample": self.random_sample,
+                  "nmsThreshold": self.nms_threshold, "version": self.version})
+        return j

@@ -1,0 +1,131 @@
+"""Compile-on-demand loader for the native host ops (ctypes ABI).
+
+Replaces the reference's Theano-cmodule import-time compilation
+(denet/common/__init__.py:171-195) with a hash-cached g++ build of
+``denet_ops.cc`` into a shared library loaded via ctypes.
+"""
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy
+
+_lib = None
+_lock = threading.Lock()
+
+_SRC = os.path.join(os.path.dirname(__file__), "denet_ops.cc")
+
+
+def _cache_dir():
+    d = os.environ.get("DENET_TPU_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache", "denet_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build():
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    h = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), "denet_ops_%s.so" % h)
+    if not os.path.exists(so_path):
+        tmp = so_path + ".tmp.%d" % os.getpid()
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+               "-fno-math-errno", _SRC, "-o", tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+    return so_path
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        with _lock:
+            if _lib is None:
+                lib = ctypes.CDLL(_build())
+                f32p = ctypes.POINTER(ctypes.c_float)
+                i32p = ctypes.POINTER(ctypes.c_int)
+                lib.build_samples.argtypes = [
+                    f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_float, ctypes.c_int, f32p, f32p, i32p]
+                lib.build_samples.restype = None
+                lib.build_detections_nms.argtypes = [
+                    ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                    f32p, f32p, f32p, i32p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, f32p, i32p]
+                lib.build_detections_nms.restype = None
+                _lib = lib
+    return _lib
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def build_samples(thread_num, corner_pr, corner_threshold, sample_num,
+                  max_corners, local_max, cluster_threshold):
+    """Corner heatmaps -> per-image list of (pr, (x0, y0, x1, y1)) samples.
+
+    Same call signature / return structure as the reference extension
+    (denet/layer/denet_sparse.cc build_samples).
+    """
+    corner_pr = numpy.ascontiguousarray(corner_pr, dtype=numpy.float32)
+    b, two, corner_num, h, w = corner_pr.shape
+    assert two == 2
+    sc = sample_num * sample_num
+    out_bbox = numpy.zeros((b, sc, 4), dtype=numpy.float32)
+    out_pr = numpy.zeros((b, sc), dtype=numpy.float32)
+    out_count = numpy.zeros((b,), dtype=numpy.int32)
+    get_lib().build_samples(
+        _f32p(corner_pr), b, corner_num, h, w,
+        ctypes.c_float(corner_threshold), sample_num, max_corners, local_max,
+        ctypes.c_float(cluster_threshold), thread_num,
+        _f32p(out_bbox), _f32p(out_pr), _i32p(out_count))
+
+    samples = []
+    for i in range(b):
+        n = int(out_count[i])
+        samples.append([(float(out_pr[i, j]), tuple(float(v) for v in out_bbox[i, j]))
+                        for j in range(n)])
+    return samples
+
+
+def build_detections_nms(pr_threshold, nms_threshold, use_soft_nms, det_pr,
+                         fitness, bbox, bbox_num, max_dets=None):
+    """Thresholded per-class NMS -> per-image list of (pr, cls, bbox).
+
+    Mirrors the reference extension (denet/layer/denet_detect.cc) — returned
+    ``pr`` is exp(score).
+    """
+    det_pr = numpy.ascontiguousarray(det_pr, dtype=numpy.float32)
+    fitness = numpy.ascontiguousarray(fitness, dtype=numpy.float32)
+    bbox = numpy.ascontiguousarray(bbox, dtype=numpy.float32)
+    b, class_num_p1, sn, _ = det_pr.shape
+    bbox_num = numpy.asarray(bbox_num, dtype=numpy.int32)
+    if max_dets is None:
+        max_dets = (class_num_p1 - 1) * sn * sn
+    out_dets = numpy.zeros((b, max_dets, 6), dtype=numpy.float32)
+    out_count = numpy.zeros((b,), dtype=numpy.int32)
+    get_lib().build_detections_nms(
+        ctypes.c_float(pr_threshold), ctypes.c_float(nms_threshold),
+        int(use_soft_nms), _f32p(det_pr), _f32p(fitness), _f32p(bbox),
+        _i32p(bbox_num), b, class_num_p1, sn, max_dets,
+        _f32p(out_dets), _i32p(out_count))
+
+    import math
+    detlists = []
+    for i in range(b):
+        dets = []
+        for j in range(int(out_count[i])):
+            row = out_dets[i, j]
+            dets.append((math.exp(float(row[0])), int(row[1]),
+                         (float(row[2]), float(row[3]), float(row[4]), float(row[5]))))
+        detlists.append(dets)
+    return detlists

@@ -1,0 +1,160 @@
+"""Training driver: one jit-compiled train step over the whole model.
+
+Replaces the reference's compiled Theano update graphs
+(denet/model/model_cnn.py:205-470) with a pure step function
+
+    (params, slots, state, x, targets, hyper) -> (params, slots, state, costs)
+
+jitted once and reused every batch.  Gradient accumulation
+(``--batch-size-factor`` with ``--use-acc-mode``) reproduces the reference's
+*parameter-averaging* accumulator semantics (model_cnn.py:374-392).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+import denet_tpu.utils as common
+import denet_tpu.utils.logging as logging
+from denet_tpu.layers.base import Ctx
+from denet_tpu.train import solver as solver_mod
+
+
+class Trainer:
+    def __init__(self, model, solver_mode="sgd", cost_factors=None,
+                 use_acc_mode=False, seed=None):
+        self.model = model
+        self.solver_mode = solver_mode
+        self.use_acc_mode = use_acc_mode
+
+        clayers = model.cost_layers()
+        self.cost_factors = ([1.0] * len(clayers) if not cost_factors
+                             else [float(f) for f in cost_factors])
+        assert len(self.cost_factors) == len(clayers), \
+            "Different number of cost factors (%i) and cost layers (%i)" % (
+                len(self.cost_factors), len(clayers))
+        logging.info("Found %i costs in model:" % len(clayers),
+                     list(zip([l.type_name for l in clayers], self.cost_factors)))
+
+        self.slots = solver_mod.init_slots(model.params, solver_mode)
+        self.roles = [layer.param_roles(p) for layer, p in
+                      zip(model.layers, model.params)]
+        self.update_mask = None
+        if model.skip_layer_updates:
+            skip = set(model.skip_layer_updates)
+            self.update_mask = [
+                jax.tree_util.tree_map(lambda _: i not in skip, p)
+                for i, p in enumerate(model.params)]
+
+        self.rng = jax.random.PRNGKey(seed if seed is not None else model.rng_seed)
+        self._step_fn = None
+        self._acc = None
+        self._acc_count = 0
+
+    def _build_step(self):
+        model = self.model
+        cost_factors = self.cost_factors
+        roles = self.roles
+        solver_mode = self.solver_mode
+        bias_decay = model.bias_decay
+        gradient_clip = model.gradient_clip
+        update_mask = self.update_mask
+
+        def step(params, slots, state, x, targets, aux, epoch, iteration, lr,
+                 momentum, decay, rng):
+            def loss_fn(params):
+                ctx = Ctx(train=True, rng=rng, epoch=epoch, iteration=iteration,
+                          aux=aux)
+                total, (costs, new_state) = model.loss(
+                    params, state, x, targets, ctx, cost_factors)
+                return total, (costs, new_state)
+
+            (total, (costs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+
+            if gradient_clip > 0.0:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.clip(g, -gradient_clip, gradient_clip), grads)
+
+            params_new, slots_new = solver_mod.apply_updates(
+                solver_mode, params, grads, slots, roles, lr, momentum, decay,
+                iteration, bias_decay, update_mask)
+            return params_new, slots_new, new_state, total, costs
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def train_step(self, data_x, data_m, epoch, it, learning_rate, momentum,
+                   decay):
+        """One optimizer step; targets generated host-side per cost layer."""
+        model = self.model
+        if self._step_fn is None:
+            logging.info("Building training function - solver: %s, "
+                         "use_acc_mode: %s" % (self.solver_mode, self.use_acc_mode))
+            self._step_fn = self._build_step()
+
+        targets = model.get_targets(data_x, data_m)
+        aux = dict(getattr(model, "train_aux", {}))
+
+        self.rng, step_rng = jax.random.split(self.rng)
+        momentum = numpy.asarray(momentum, dtype=numpy.float32)
+        params, slots, state, total, costs = self._step_fn(
+            model.params, self.slots, model.state, jnp.asarray(data_x),
+            [jnp.asarray(t) for t in targets], aux,
+            jnp.int32(epoch), jnp.float32(it), jnp.float32(learning_rate),
+            momentum, jnp.float32(decay), step_rng)
+        model.params = params
+        model.state = state
+        self.slots = slots
+
+        if self.use_acc_mode:
+            acc_tree = (params, slots)
+            if self._acc is None:
+                self._acc = jax.tree_util.tree_map(jnp.copy, acc_tree)
+            else:
+                self._acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, self._acc, acc_tree)
+            self._acc_count += 1
+
+        total = float(total)
+        return total, [float(c) for c in costs]
+
+    # -- accumulation mode (parameter averaging, model_cnn.py:374-392) -------
+
+    def train_begin(self):
+        self._acc = None
+        self._acc_count = 0
+
+    def train_end(self):
+        if not self.use_acc_mode or self._acc_count == 0:
+            return
+        n = float(self._acc_count)
+        mean = jax.tree_util.tree_map(lambda a: a / n, self._acc)
+        self.model.params, self.slots = mean
+        self._acc = None
+        self._acc_count = 0
+
+    # -- epoch loop (reference model_cnn.py:447-470) -------------------------
+
+    def train_epoch(self, dataset, epoch, learning_rate, momentum=(0.9, 0.999),
+                    decay=0.0):
+        logging.info("Evaluating training function")
+        dataset_x, dataset_m, dataset_size = dataset.export(self.model.batch_size)
+        index_num = math.ceil(dataset_size / self.model.batch_size)
+        total_cost = 0.0
+        bs = self.model.batch_size
+        for index in range(index_num):
+            timer = common.Timer()
+            data_x = dataset_x[index * bs:(index + 1) * bs]
+            data_m = dataset_m[index * bs:(index + 1) * bs]
+            cost, _ = self.train_step(data_x, data_m, epoch,
+                                      self.model.iteration, learning_rate,
+                                      momentum, decay)
+            if math.isnan(cost):
+                raise Exception("ERROR: Cost is NaN")
+            logging.verbose("Batch %i.%i - iteration: %i cost:" % (
+                epoch, index * bs, self.model.iteration), cost,
+                "took: %i ms" % timer.current_ms())
+            total_cost += cost
+            self.model.iteration += 1
+        return total_cost

@@ -1,0 +1,160 @@
+"""Layer-level unit tests: shapes, reference-exact formulas, round-trips."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy
+import pytest
+
+from denet_tpu.core.model import Model
+from denet_tpu.layers.base import Ctx, InitialLayer
+from denet_tpu.layers.batch_norm import BatchNormLayer
+from denet_tpu.layers.convolution import ConvLayer
+from denet_tpu.layers.pool import PoolLayer
+from denet_tpu.layers.pool_inv import PoolInvLayer
+
+
+def run_layer(layer, params, state, x, train=False, rng=None):
+    ctx = Ctx(train=train, rng=rng if rng is not None else jax.random.PRNGKey(0))
+    y, ns = layer.apply(params, state, [jnp.asarray(x)], ctx)
+    return numpy.asarray(y), ns, ctx
+
+
+def test_conv_valid_shape_and_value():
+    numpy.random.seed(0)
+    layers = [InitialLayer((2, 3, 8, 8))]
+    conv = ConvLayer(layers, filter_shape=(4, 3, 3, 3), filter_stride=(1, 1),
+                     use_bias=True, border_mode="valid", wb="he-forward")
+    p, s = conv.init_params(), conv.init_state()
+    assert conv.output_shape == (2, 4, 6, 6)
+
+    x = numpy.random.uniform(-1, 1, (2, 3, 8, 8)).astype(numpy.float32)
+    y, _, _ = run_layer(conv, p, s, x)
+    assert y.shape == (2, 4, 6, 6)
+
+    # check against explicit true-convolution (flipped kernel correlation)
+    w = p["weight"]
+    ref = numpy.zeros((2, 4, 6, 6), dtype=numpy.float32)
+    wf = w[:, :, ::-1, ::-1]
+    for b in range(2):
+        for o in range(4):
+            for i in range(6):
+                for j in range(6):
+                    ref[b, o, i, j] = numpy.sum(
+                        x[b, :, i:i + 3, j:j + 3] * wf[o]) + p["bias"][o]
+    assert numpy.allclose(y, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("border_mode,stride", [
+    ("valid", (1, 1)), ("valid", (2, 2)), ("full", (1, 1)), ("half", (1, 1)),
+    ("half", (2, 2)), ("same", (1, 1)), (1, (1, 1)), (2, (2, 2))])
+def test_conv_border_modes_shape(border_mode, stride):
+    layers = [InitialLayer((1, 2, 9, 9))]
+    conv = ConvLayer(layers, filter_shape=(3, 2, 3, 3), filter_stride=stride,
+                     border_mode=border_mode, wb=0.1)
+    x = numpy.random.uniform(-1, 1, (1, 2, 9, 9)).astype(numpy.float32)
+    y, _, _ = run_layer(conv, conv.init_params(), conv.init_state(), x)
+    assert y.shape == conv.output_shape
+
+
+def test_conv_init_bounds():
+    numpy.random.seed(3)
+    layers = [InitialLayer((1, 8, 4, 4))]
+    conv = ConvLayer(layers, filter_shape=(16, 8, 3, 3), wb="he-forward")
+    assert abs(conv.w_bound - math.sqrt(2.0 / (3 * 3 * 8))) < 1e-9
+    conv = ConvLayer(layers, filter_shape=(16, 8, 3, 3), wb="he-backward")
+    assert abs(conv.w_bound - math.sqrt(2.0 / (3 * 3 * 16))) < 1e-9
+    conv = ConvLayer(layers, filter_shape=(16, 8, 3, 3), wb="uniform,xavier-forward")
+    assert abs(conv.w_bound - math.sqrt(1.0 / (3 * 3 * 8))) < 1e-9
+    assert numpy.abs(conv.init_params()["weight"]).max() <= conv.w_bound
+
+
+def test_pool_max_and_avg():
+    layers = [InitialLayer((1, 1, 4, 4))]
+    pool = PoolLayer(layers, size=(2, 2))
+    x = numpy.arange(16, dtype=numpy.float32).reshape(1, 1, 4, 4)
+    y, _, _ = run_layer(pool, {}, {}, x)
+    assert y.shape == (1, 1, 2, 2)
+    assert numpy.allclose(y[0, 0], [[5, 7], [13, 15]])
+
+    pool = PoolLayer(layers, size=(2, 2), mode="average_inc_pad")
+    y, _, _ = run_layer(pool, {}, {}, x)
+    assert numpy.allclose(y[0, 0], [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_pool_ignore_border_false():
+    layers = [InitialLayer((1, 1, 5, 5))]
+    pool = PoolLayer(layers, size=(2, 2), ignore_border=False)
+    assert pool.output_shape == (1, 1, 3, 3)
+    x = numpy.arange(25, dtype=numpy.float32).reshape(1, 1, 5, 5)
+    y, _, _ = run_layer(pool, {}, {}, x)
+    assert y[0, 0, 2, 2] == 24.0
+
+
+def test_pool_inv():
+    layers = [InitialLayer((1, 2, 2, 2))]
+    pi = PoolInvLayer(layers, size=(2, 2))
+    x = numpy.arange(8, dtype=numpy.float32).reshape(1, 2, 2, 2)
+    y, _, _ = run_layer(pi, {}, {}, x)
+    assert y.shape == (1, 2, 4, 4)
+    assert numpy.allclose(y[0, 0, :2, :2], x[0, 0, 0, 0])
+
+
+def test_batch_norm_train_stats():
+    """Mirrors the reference self-test (batch_norm.py:131-158): normalized
+    output has ~zero mean / unit std and the EMAs move toward batch stats."""
+    numpy.random.seed(1002)
+    eps = 1e-3
+    shape = (64, 32, 8, 8)
+    layers = [InitialLayer(shape)]
+    bn = BatchNormLayer(layers)
+    p, s = bn.init_params(), bn.init_state()
+    x = numpy.random.uniform(0.0, 1.0, shape).astype(numpy.float32)
+    y, ns, _ = run_layer(bn, p, s, x, train=True)
+    assert abs(float(y.mean())) < eps
+    assert abs(float(y.std()) - 1.0) < eps
+    # EMA: 0.9*0 + 0.1*batch_mean
+    assert abs(float(numpy.asarray(ns["mean"]).mean()) - x.mean() * 0.1) < eps
+
+
+def test_batch_norm_eval_uses_ema():
+    shape = (4, 3, 4, 4)
+    layers = [InitialLayer(shape)]
+    bn = BatchNormLayer(layers)
+    p, s = bn.init_params(), bn.init_state()
+    s = {"mean": numpy.full((3,), 2.0, dtype=numpy.float32),
+         "stdinv": numpy.full((3,), 0.5, dtype=numpy.float32)}
+    x = numpy.full(shape, 2.0, dtype=numpy.float32)
+    y, _, _ = run_layer(bn, p, s, x, train=False)
+    assert numpy.allclose(y, 0.0, atol=1e-5)
+
+
+def test_simple_model_build_and_forward():
+    model = Model()
+    model.batch_size = 4
+    model.class_num = 10
+    model.class_labels = {str(i): i for i in range(10)}
+    model.build(["C[16,3]", "BN", "A", "P[2]", "C[32,3]", "BN", "A", "P[2]", "R"],
+                (3, 32, 32), activation="relu", border_mode="valid",
+                weight_init=["he-forward"])
+    x = numpy.random.uniform(0, 1, (4, 3, 32, 32)).astype(numpy.float32)
+    ctx = Ctx(train=False)
+    outputs, _ = model.forward(model.params, model.state, jnp.asarray(x), ctx)
+    out = numpy.asarray(outputs[len(model.layers) - 1])
+    assert out.shape == (4, 10)
+    assert numpy.allclose(out.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_resnet_block_shapes():
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 10
+    model.class_labels = {}
+    model.build(["C[16,3]", "nRSN[2,32,3,2]", "R"], (3, 16, 16),
+                border_mode="half", weight_init=["he-forward"])
+    x = numpy.random.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+    ctx = Ctx(train=True, rng=jax.random.PRNGKey(0))
+    outputs, new_state = model.forward(model.params, model.state,
+                                       jnp.asarray(x), ctx)
+    out = numpy.asarray(outputs[len(model.layers) - 1])
+    assert out.shape == (2, 10)

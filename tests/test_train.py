@@ -1,0 +1,128 @@
+"""Trainer tests: solver math vs hand-computed references, convergence."""
+import jax.numpy as jnp
+import numpy
+
+from denet_tpu.core.model import Model
+from denet_tpu.train import solver as solver_mod
+from denet_tpu.train.trainer import Trainer
+
+
+def test_sgd_update_math():
+    """m = rho*m + (1-rho)*g ; p -= lr*m, with rho gated at iteration 0."""
+    p = {"w": jnp.asarray([1.0, 2.0])}
+    g = {"w": jnp.asarray([0.5, -0.5])}
+    roles = {"w": "weight"}
+    slots = solver_mod.init_slots(p, "sgd")
+
+    # iteration 0: rho forced to 0 -> m = g, p -= lr*g
+    p1, s1 = solver_mod.apply_updates("sgd", p, g, slots, roles, 0.1,
+                                      [0.9, 0.999], 0.0, 0)
+    assert numpy.allclose(p1["w"], [1.0 - 0.05, 2.0 + 0.05])
+    assert numpy.allclose(s1["m"]["w"], [0.5, -0.5])
+
+    # iteration 1: m = 0.9*m + 0.1*g
+    p2, s2 = solver_mod.apply_updates("sgd", p1, g, s1, roles, 0.1,
+                                      [0.9, 0.999], 0.0, 1)
+    m_expect = 0.9 * numpy.array([0.5, -0.5]) + 0.1 * numpy.array([0.5, -0.5])
+    assert numpy.allclose(s2["m"]["w"], m_expect)
+    assert numpy.allclose(p2["w"], numpy.asarray(p1["w"]) - 0.1 * m_expect)
+
+
+def test_torch_update_math():
+    """m = rho*m + g ; p -= lr*(g + mom*m)  (nesterov/torch mode)."""
+    p = {"w": jnp.asarray([1.0])}
+    g = {"w": jnp.asarray([1.0])}
+    roles = {"w": "weight"}
+    slots = solver_mod.init_slots(p, "torch")
+    p1, s1 = solver_mod.apply_updates("torch", p, g, slots, roles, 0.1,
+                                      [0.9, 0.999], 0.0, 5)
+    # m starts 0 but iteration>0: m = 0.9*0 + 1 = 1 ; p -= 0.1*(1 + 0.9*1)
+    assert numpy.allclose(s1["m"]["w"], [1.0])
+    assert numpy.allclose(p1["w"], [1.0 - 0.19])
+
+
+def test_weight_decay_only_on_weights():
+    p = {"w": jnp.asarray([1.0]), "bias": jnp.asarray([1.0])}
+    g = {"w": jnp.asarray([0.0]), "bias": jnp.asarray([0.0])}
+    roles = {"w": "weight", "bias": "bias"}
+    slots = solver_mod.init_slots(p, "sgd")
+    p1, _ = solver_mod.apply_updates("sgd", p, g, slots, roles, 1.0,
+                                     [0.0, 0.0], 0.1, 0)
+    assert numpy.allclose(p1["w"], [0.9])      # decayed
+    assert numpy.allclose(p1["bias"], [1.0])   # untouched
+
+
+class FakeDataset:
+    """Minimal dataset exposing the export() contract."""
+
+    def __init__(self, x, labels):
+        self.x = x
+        self.labels = labels
+
+    def export(self, batch_size):
+        metas = [{"image_class": int(l)} for l in self.labels]
+        return self.x, metas, len(self.labels)
+
+
+def test_training_reduces_cost():
+    numpy.random.seed(11)
+    model = Model()
+    model.batch_size = 8
+    model.class_num = 2
+    model.class_labels = {"0": 0, "1": 1}
+    model.build(["C[8,3]", "BN", "A", "P[2]", "R"], (1, 8, 8),
+                border_mode="half", weight_init=["he-forward"])
+
+    # two trivially separable classes, interleaved so each batch mixes both
+    # (BN with single-class batches would wash out the signal)
+    x = numpy.zeros((16, 1, 8, 8), dtype=numpy.float32)
+    labels = numpy.zeros(16, dtype=numpy.int64)
+    x[8:, :, :4] = 1.0
+    labels[8:] = 1
+    perm = numpy.arange(16).reshape(2, 8).T.reshape(-1)
+    x, labels = x[perm], labels[perm]
+    data = FakeDataset(x, labels)
+
+    trainer = Trainer(model, solver_mode="sgd", seed=3)
+    cost0 = trainer.train_epoch(data, 0, learning_rate=0.1, momentum=[0.9, 0.999])
+    for epoch in range(1, 6):
+        cost = trainer.train_epoch(data, epoch, 0.1, momentum=[0.9, 0.999])
+    assert cost < cost0
+
+    preds = model.predict_label(data)
+    acc = numpy.mean(numpy.asarray(preds) == labels)
+    assert acc >= 0.9
+
+
+def test_adam_training_runs():
+    numpy.random.seed(12)
+    model = Model()
+    model.batch_size = 4
+    model.class_num = 2
+    model.class_labels = {"0": 0, "1": 1}
+    model.build(["C[4,3]", "A", "R"], (1, 6, 6), border_mode="half",
+                weight_init=["he-forward"])
+    x = numpy.random.uniform(0, 1, (4, 1, 6, 6)).astype(numpy.float32)
+    data = FakeDataset(x, [0, 1, 0, 1])
+    trainer = Trainer(model, solver_mode="adam", seed=5)
+    c = trainer.train_epoch(data, 0, 0.001, momentum=[0.9, 0.999])
+    assert numpy.isfinite(c)
+
+
+def test_grad_accum_acc_mode():
+    numpy.random.seed(13)
+    model = Model()
+    model.batch_size = 4
+    model.class_num = 2
+    model.class_labels = {"0": 0, "1": 1}
+    model.build(["C[4,3]", "R"], (1, 6, 6), border_mode="half",
+                weight_init=["he-forward"])
+    x = numpy.random.uniform(0, 1, (4, 1, 6, 6)).astype(numpy.float32)
+    metas = [{"image_class": i % 2} for i in range(4)]
+    trainer = Trainer(model, solver_mode="sgd", use_acc_mode=True, seed=5)
+    trainer.train_begin()
+    for i in range(3):
+        trainer.train_step(x, metas, 0, i, 0.1, [0.9, 0.999], 0.0)
+    trainer.train_end()
+    assert numpy.all(numpy.isfinite(
+        numpy.asarray(model.params[1]["weight"])))

@@ -1,0 +1,193 @@
+"""Data subsystem tests: readers, augmentation bbox remapping, VOC mAP."""
+import json
+import os
+import random
+
+import numpy
+import pytest
+from PIL import Image
+
+import denet_tpu.data as dataset
+from denet_tpu.data import augment
+from denet_tpu.data.image_loader import ImageLoader, load_sample_proc
+from denet_tpu.data import pascal_voc
+
+
+def make_image(path, size=(32, 24), color=(255, 0, 0)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.new("RGB", size, color).save(path)
+
+
+def test_dataset_from_dir(tmp_path):
+    root = str(tmp_path / "ds")
+    for cls, color in [("cat", (255, 0, 0)), ("dog", (0, 255, 0))]:
+        for i in range(3):
+            make_image(os.path.join(root, cls, "%i.png" % i), (8, 8), color)
+    data = dataset.load(root, "png", is_training=True)
+    assert len(data) == 6
+    assert data.get_class_num() == 2
+    x, metas, size = data.export(batch_size=4)
+    assert x.shape == (8, 3, 8, 8)  # padded to batch multiple
+    assert size == 6
+    assert x.max() <= 1.0
+
+
+def test_dataset_from_array(tmp_path):
+    root = str(tmp_path)
+    numpy.save(os.path.join(root, "_data.npy"),
+               numpy.random.uniform(0, 1, (5, 3, 8, 8)).astype(numpy.float32))
+    numpy.save(os.path.join(root, "_labels.npy"),
+               numpy.array([0, 1, 0, 1, 1]))
+    data = dataset.load(root, "npy")
+    assert len(data) == 5
+    assert data.get_class_num() == 2
+    x, metas, size = data.export(2)
+    assert x.shape == (6, 3, 8, 8)
+
+
+def test_scale_modes():
+    im = Image.new("RGB", (40, 20))
+    s, sx, sy = augment.scale(im.copy(), 10, "small")
+    assert s.size == (20, 10)
+    s, sx, sy = augment.scale(im.copy(), 10, "large")
+    assert s.size == (10, 5)
+    s, sx, sy = augment.scale(im.copy(), 10, "warp")
+    assert s.size == (10, 10)
+
+
+def test_center_and_multi_crop():
+    im = Image.new("RGB", (30, 30))
+    c, dx, dy = augment.center_crop(im, 10)
+    assert c.size == (10, 10) and dx == 10 and dy == 10
+    crops, ox, oy, mirror = augment.multi_crop_mirror(im, 10)
+    assert len(crops) == 10 and sum(mirror) == 5
+
+
+def test_bbox_remap_identity(tmp_path):
+    """With no scaling/cropping, bboxes pass through normalized by crop."""
+    fname = str(tmp_path / "im.png")
+    make_image(fname, (16, 16))
+    image = {"fname": fname, "bboxs": [(1, (4, 4, 12, 12))], "class": 0}
+    args = {"image": image, "isTraining": False, "scale": 16, "crop": 16,
+            "checkOnscreen": 0.0, "seed": 1}
+    data = load_sample_proc(args)
+    assert len(data) == 1
+    meta = data[0][2]
+    assert meta["class"] == [1]
+    assert numpy.allclose(meta["bbox"][0], (0.25, 0.25, 0.75, 0.75))
+
+
+def test_bbox_remap_mirror(tmp_path):
+    fname = str(tmp_path / "im.png")
+    make_image(fname, (16, 16))
+    image = {"fname": fname, "bboxs": [(0, (0, 0, 8, 16))], "class": 0}
+    # training path, center mode, force mirror via seed search
+    for seed in range(40):
+        args = {"image": image, "isTraining": True, "scale": 16, "crop": 16,
+                "cropMode": "center", "checkOnscreen": 0.0,
+                "augmentMirror": True, "seed": seed}
+        data = load_sample_proc(args)
+        meta = data[0][2]
+        if meta["mirror"]:
+            assert numpy.allclose(meta["bbox"][0], (0.5, 0.0, 1.0, 1.0))
+            return
+    pytest.fail("never mirrored in 40 seeds")
+
+
+def test_check_onscreen_filter(tmp_path):
+    fname = str(tmp_path / "im.png")
+    make_image(fname, (32, 32))
+    # bbox mostly offscreen after crop to the right half
+    image = {"fname": fname, "bboxs": [(0, (0, 0, 4, 32))], "class": 0}
+    args = {"image": image, "isTraining": False, "scale": 32, "crop": 16,
+            "checkOnscreen": 0.5, "seed": 1}
+    data = load_sample_proc(args)
+    # center crop offset (8,8): bbox maps to x [-0.5, -0.25] -> filtered
+    assert data[0][2]["bbox"] == []
+
+
+def test_multicrop_produces_10(tmp_path):
+    fname = str(tmp_path / "im.png")
+    make_image(fname, (24, 24))
+    image = {"fname": fname, "bboxs": [], "class": 2}
+    args = {"image": image, "isTraining": False, "scale": 20, "crop": 16,
+            "multicrop": True, "checkOnscreen": 0.0, "seed": 1}
+    data = load_sample_proc(args)
+    assert len(data) == 10
+    assert all(d[1].shape == (3, 16, 16) for d in data)
+
+
+def test_photometric_and_colorspace():
+    random.seed(0)
+    numpy.random.seed(0)
+    x = numpy.random.uniform(0, 1, (3, 8, 8)).astype(numpy.float32)
+    y = augment.photometric(x.copy())
+    assert y.shape == x.shape and not numpy.allclose(x, y)
+    z = augment.colorspace(x.copy(), numpy.ones(3, numpy.float32),
+                           numpy.eye(3, dtype=numpy.float32))
+    assert z.shape == x.shape
+
+
+def test_crop_modes_run(tmp_path):
+    random.seed(3)
+    im = Image.new("RGB", (60, 40))
+    bboxs = [(10, 10, 30, 30)]
+    for fn, args in [(augment.lenet_crop, (im, 16)),
+                     (augment.resnet_crop, (im, 16)),
+                     (augment.denet_crop, (im, 16, bboxs)),
+                     (augment.ssd_crop, (im, 16, bboxs))]:
+        out = fn(*args)
+        assert out[0].size == (16, 16)
+
+
+def test_voc_map_golden():
+    """Canned detections: one perfect, one false positive."""
+    detections = []
+    # image 0: gt aeroplane at (0.1,0.1,0.5,0.5), detected perfectly
+    detections.append({
+        "detections": [(0.9, 0, (0.1, 0.1, 0.5, 0.5))],
+        "meta": {"class": [0], "bbox": [(0.1, 0.1, 0.5, 0.5)],
+                 "image": {"difficult": [False]}}})
+    # image 1: gt bicycle, detection misses entirely
+    detections.append({
+        "detections": [(0.8, 1, (0.6, 0.6, 0.9, 0.9))],
+        "meta": {"class": [1], "bbox": [(0.0, 0.0, 0.3, 0.3)],
+                 "image": {"difficult": [False]}}})
+    mean_ap = pascal_voc.get_precision(detections)
+    # class 0 AP = 1.0, class 1 AP = 0, other 18 classes AP = 0
+    assert abs(mean_ap - 1.0 / 20) < 1e-6
+
+
+def test_voc_xml_parse(tmp_path):
+    xml_text = """<annotation><object><name>cat</name><difficult>0</difficult>
+    <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>30</xmax><ymax>40</ymax></bndbox>
+    </object></annotation>"""
+    fname = str(tmp_path / "a.xml")
+    with open(fname, "w") as f:
+        f.write(xml_text)
+    bboxs, difficult = pascal_voc.parse_voc_xml(fname, {"cat": 7})
+    assert bboxs == [(7, (9, 19, 29, 39))]
+    assert difficult == [False]
+
+
+def test_mscoco_reader(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "annotations"))
+    os.makedirs(os.path.join(root, "train2014"))
+    make_image(os.path.join(root, "train2014", "im0.jpg"), (32, 32))
+    ann = {"categories": [{"id": 5, "name": "cat"}, {"id": 9, "name": "dog"}],
+           "images": [{"file_name": "im0.jpg", "id": 100}],
+           "annotations": [{"image_id": 100, "category_id": 5,
+                            "bbox": [4, 4, 8, 8]}]}
+    with open(os.path.join(root, "annotations", "instances_train2014.json"),
+              "w") as f:
+        json.dump(ann, f)
+
+    data = dataset.load(root, "mscoco,2014-train,crop=16,scale=16",
+                        is_training=True, thread_num=1)
+    assert data.get_class_num() == 2
+    data.load_from_subset(0)
+    assert len(data) == 1
+    meta = data.data[0][2]
+    assert meta["class"] == [0]
+    assert meta["image"]["id"] == 100

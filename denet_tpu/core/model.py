@@ -145,7 +145,8 @@ class Model:
             def seg_fn(seg_params, seg_state, outs_dict, _start=start, _end=end):
                 seg_ctx = Ctx(train=ctx.train, rng=ctx.rng, epoch=ctx.epoch,
                               iteration=ctx.iteration, aux=ctx.aux,
-                              compute_dtype=ctx.compute_dtype)
+                              compute_dtype=ctx.compute_dtype,
+                              bn_stats=ctx.bn_stats)
                 outs = dict(outs_dict)
                 ns_list = []
                 for i in range(_start, _end):

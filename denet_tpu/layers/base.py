@@ -29,7 +29,7 @@ class Ctx:
     """Per-trace context threaded through layer ``apply`` calls."""
 
     def __init__(self, train=False, rng=None, epoch=0, iteration=0, aux=None,
-                 compute_dtype=None):
+                 compute_dtype=None, bn_stats=None):
         self.train = train          # static python bool
         self.rng = rng              # jax PRNG key (or None when unused)
         self.epoch = epoch          # traced or static scalar
@@ -37,6 +37,7 @@ class Ctx:
         self.aux = aux or {}        # extra device inputs keyed by layer index
         self.collect = {}           # side outputs keyed by layer index
         self.compute_dtype = compute_dtype  # e.g. jnp.bfloat16 for the trunk
+        self.bn_stats = bn_stats    # dict -> BN layers stash input stats here
 
     def layer_rng(self, layer_index):
         assert self.rng is not None, "Ctx.rng required for stochastic layers"

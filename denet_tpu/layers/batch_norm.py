@@ -58,6 +58,14 @@ class BatchNormLayer(Layer):
         if not self.enabled:
             return x, {}
 
+        # model-update-bn support: stash this layer's input statistics
+        # (reference recompiles a per-layer theano function instead,
+        # update_bn.py:55-66; here one jitted pass collects all layers)
+        if getattr(ctx, "bn_stats", None) is not None:
+            xf = x.astype(jnp.float32)
+            ctx.bn_stats[id(self)] = (jnp.mean(xf, axis=(0, 2, 3)),
+                                      jnp.var(xf, axis=(0, 2, 3)))
+
         gamma = params["gamma"]
         beta = params["bias"]
         if ctx.train:

@@ -23,10 +23,11 @@ from denet_tpu.train import solver as solver_mod
 
 class Trainer:
     def __init__(self, model, solver_mode="sgd", cost_factors=None,
-                 use_acc_mode=False, seed=None):
+                 use_acc_mode=False, seed=None, mesh=None):
         self.model = model
         self.solver_mode = solver_mode
         self.use_acc_mode = use_acc_mode
+        self.mesh = mesh  # data-parallel GSPMD mesh (denet_tpu.parallel.mesh)
 
         clayers = model.cost_layers()
         self.cost_factors = ([1.0] * len(clayers) if not cost_factors
@@ -51,6 +52,7 @@ class Trainer:
         self._step_fn = None
         self._acc = None
         self._acc_count = 0
+        self._placed = False
 
     def _build_step(self):
         model = self.model
@@ -98,9 +100,25 @@ class Trainer:
 
         self.rng, step_rng = jax.random.split(self.rng)
         momentum = numpy.asarray(momentum, dtype=numpy.float32)
+        data_x = jnp.asarray(data_x)
+        targets = [jnp.asarray(t) for t in targets]
+
+        if self.mesh is not None:
+            # GSPMD data parallelism: batch-major inputs sharded over the
+            # mesh's data axis, params/state replicated — XLA inserts the
+            # gradient all-reduce over ICI (see denet_tpu/parallel/mesh.py)
+            from denet_tpu.parallel import mesh as mesh_mod
+            if not self._placed:
+                model.params = mesh_mod.shard_args(self.mesh, model.params)
+                model.state = mesh_mod.shard_args(self.mesh, model.state)
+                self.slots = mesh_mod.shard_args(self.mesh, self.slots)
+                self._placed = True
+            data_x = mesh_mod.shard_args(self.mesh, data_x, batch_leaves=True)
+            targets = mesh_mod.shard_args(self.mesh, targets, batch_leaves=True)
+            aux = mesh_mod.shard_args(self.mesh, aux, batch_leaves=True)
+
         params, slots, state, total, costs = self._step_fn(
-            model.params, self.slots, model.state, jnp.asarray(data_x),
-            [jnp.asarray(t) for t in targets], aux,
+            model.params, self.slots, model.state, data_x, targets, aux,
             jnp.int32(epoch), jnp.float32(it), jnp.float32(learning_rate),
             momentum, jnp.float32(decay), step_rng)
         model.params = params

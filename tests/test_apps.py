@@ -1,0 +1,122 @@
+"""End-to-end CLI app tests on synthetic data (the CIFAR10 minimum slice)."""
+import glob
+import os
+
+import numpy
+from PIL import Image
+
+import denet_tpu.core.model as model_mod
+from denet_tpu.apps import modify as modify_app
+from denet_tpu.apps import predict as predict_app
+from denet_tpu.apps import train as train_app
+from denet_tpu.apps import update_bn as update_bn_app
+
+
+def make_dataset(root, n_per_class=6, size=12):
+    rng = numpy.random.RandomState(0)
+    for cls, base in [("red", (200, 30, 30)), ("blue", (30, 30, 200))]:
+        d = os.path.join(root, cls)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_class):
+            px = rng.randint(0, 40, (size, size, 3)) + numpy.array(base)
+            im = Image.fromarray(numpy.clip(px, 0, 255).astype(numpy.uint8))
+            im.save(os.path.join(d, "%02i.png" % i))
+
+
+def test_train_predict_modify_updatebn_cycle(tmp_path):
+    train_dir = str(tmp_path / "train")
+    test_dir = str(tmp_path / "test")
+    make_dataset(train_dir)
+    make_dataset(test_dir, n_per_class=2)
+    prefix = str(tmp_path / "out" / "model")
+    os.makedirs(str(tmp_path / "out"))
+
+    train_app.main([
+        "--train", train_dir, "--test", test_dir, "--extension", "png",
+        "--output-prefix", prefix, "--epochs", "2", "--batch-size", "4",
+        "--solver", "sgd", "--learn-rate", "0.05", "--learn-momentum", "0.9",
+        "--border-mode", "half", "--seed", "1",
+        "--model-desc", "C[8,3]", "BN", "A", "P[2]", "R"])
+
+    final = prefix + "_epoch001_final.mdl.gz"
+    assert os.path.isfile(final)
+    assert os.path.isfile(prefix + "_epoch000.test")
+
+    # predict single mode runs and reports errors
+    predict_app.main([
+        "--model", final, "--input", test_dir, "--extension", "png",
+        "--batch-size", "4", "--predict-mode", "single",
+        "--results", str(tmp_path / "results")])
+
+    # model surgery: append a dropout layer, remove it again
+    modified = str(tmp_path / "mod.mdl.gz")
+    modify_app.main(["--input", final, "--output", modified,
+                     "--layer-append", "D[0.3]"])
+    m = model_mod.load_from_file(modified)
+    assert m.layers[-1].type_name == "dropout"
+
+    modify_app.main(["--input", modified, "--output", modified,
+                     "--layer-remove", "1"])
+    m = model_mod.load_from_file(modified)
+    assert m.layers[-1].type_name == "regression"
+
+    # update BN statistics over the training set
+    bn_updated = str(tmp_path / "bn.mdl.gz")
+    update_bn_app.main(["--model", final, "--output", bn_updated,
+                        "--input", train_dir, "--extension", "png",
+                        "--batch-size", "4"])
+    m2 = model_mod.load_from_file(bn_updated)
+    # BN stats should differ from the trained EMAs
+    orig = model_mod.load_from_file(final)
+    bn_index = [i for i, l in enumerate(m2.layers)
+                if l.type_name == "batchnorm"][0]
+    assert not numpy.allclose(m2.state[bn_index]["mean"],
+                              orig.state[bn_index]["mean"])
+
+
+def test_modify_bn_and_fuse(tmp_path):
+    import random
+    random.seed(0)
+    numpy.random.seed(0)
+    model = model_mod.Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {"a": 0, "b": 1, "c": 2}
+    model.build(["C[4,3]", "BN", "A", "R"], (3, 8, 8), border_mode="half",
+                weight_init=["he-forward"])
+    fname = str(tmp_path / "m.mdl.gz")
+    model_mod.save_to_file(model, fname)
+
+    out = str(tmp_path / "fused.mdl.gz")
+    modify_app.main(["--input", fname, "--output", out, "--convert-bn-relu"])
+    m = model_mod.load_from_file(out)
+    types = [l.type_name for l in m.layers]
+    assert "batchnorm-relu" in types
+    assert "activation" not in types
+
+    # modify-bn changes momentum/eps
+    out2 = str(tmp_path / "bnmod.mdl.gz")
+    modify_app.main(["--input", out, "--output", out2,
+                     "--modify-bn", "1", "0.95", "1e-4"])
+    m2 = model_mod.load_from_file(out2)
+    bna = [l for l in m2.layers if l.type_name == "batchnorm-relu"][0]
+    assert abs(bna.momentum - 0.95) < 1e-9
+    assert abs(bna.eps - 1e-4) < 1e-12
+
+
+def test_modify_merge_split(tmp_path):
+    numpy.random.seed(0)
+    model = model_mod.Model()
+    model.batch_size = 2
+    model.class_num = 2
+    model.class_labels = {"a": 0, "b": 1}
+    model.build(["C[4,3]", "SPLIT", "C[4,3]", "R"], (3, 8, 8),
+                border_mode="half", weight_init=["he-forward"])
+    assert model.use_split_mode
+    fname = str(tmp_path / "m.mdl.gz")
+    model_mod.save_to_file(model, fname)
+
+    out = str(tmp_path / "merged.mdl.gz")
+    modify_app.main(["--input", fname, "--output", out, "--merge"])
+    m = model_mod.load_from_file(out)
+    assert not m.use_split_mode

@@ -1,0 +1,76 @@
+"""Data-parallel mesh tests on the forced 8-device CPU mesh."""
+import jax
+import numpy
+import pytest
+
+from denet_tpu.core.model import Model
+from denet_tpu.parallel import mesh as mesh_mod
+from denet_tpu.train.trainer import Trainer
+
+
+def make_model(seed=31, batch_size=8):
+    numpy.random.seed(seed)
+    model = Model()
+    model.batch_size = batch_size
+    model.class_num = 4
+    model.class_labels = {str(i): i for i in range(4)}
+    model.build(["C[8,3]", "BN", "A", "P[2]", "R"], (3, 16, 16),
+                border_mode="half", weight_init=["he-forward"])
+    return model
+
+
+def batch(batch_size=8):
+    numpy.random.seed(5)
+    x = numpy.random.uniform(0, 1, (batch_size, 3, 16, 16)).astype(numpy.float32)
+    metas = [{"image_class": i % 4} for i in range(batch_size)]
+    return x, metas
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_step_matches_single_device():
+    x, metas = batch()
+
+    m1 = make_model()
+    t1 = Trainer(m1, solver_mode="sgd", seed=7)
+    cost_single, _ = t1.train_step(x, metas, 0, 0, 0.1, [0.9, 0.999], 0.0)
+
+    m2 = make_model()  # same numpy seed -> identical init
+    mesh = mesh_mod.make_mesh()
+    t2 = Trainer(m2, solver_mode="sgd", seed=7, mesh=mesh)
+    cost_mesh, _ = t2.train_step(x, metas, 0, 0, 0.1, [0.9, 0.999], 0.0)
+
+    assert abs(cost_single - cost_mesh) < 1e-5
+    # parameters after the step must match too (same gradients)
+    w1 = numpy.asarray(m1.params[1]["weight"])
+    w2 = numpy.asarray(m2.params[1]["weight"])
+    assert numpy.allclose(w1, w2, atol=1e-5)
+
+
+def test_data_parallel_multiple_steps():
+    x, metas = batch()
+    model = make_model()
+    mesh = mesh_mod.make_mesh()
+    trainer = Trainer(model, solver_mode="nesterov", seed=7, mesh=mesh)
+    costs = []
+    for it in range(4):
+        c, _ = trainer.train_step(x, metas, 0, it, 0.05, [0.9, 0.999], 1e-4)
+        costs.append(c)
+    assert all(numpy.isfinite(c) for c in costs)
+    assert costs[-1] < costs[0]
+
+
+def test_detection_model_on_mesh():
+    """Full detection train step under the data-parallel mesh (the
+    dryrun_multichip path)."""
+    import random
+    from tests.test_detection import build_detect_model, synthetic_batch
+    random.seed(2)
+    model = build_detect_model(use_bbox_reg=True)
+    x, metas = synthetic_batch()
+    mesh = mesh_mod.make_mesh(2)
+    trainer = Trainer(model, solver_mode="sgd", seed=9, mesh=mesh)
+    cost, costs = trainer.train_step(x, metas, 0, 0, 0.01, [0.9, 0.999], 0.0)
+    assert numpy.isfinite(cost)

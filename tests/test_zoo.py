@@ -1,0 +1,64 @@
+"""Model zoo construction tests: descs parse and shapes line up."""
+import numpy
+import pytest
+
+from denet_tpu.core.model import Model
+from denet_tpu.models import zoo
+
+
+def build(desc, data_shape, class_num=10, batch_size=2):
+    numpy.random.seed(1)
+    model = Model()
+    model.batch_size = batch_size
+    model.class_num = class_num
+    model.class_labels = {str(i): i for i in range(class_num)}
+    model.build(desc, data_shape, activation="relu", border_mode="half",
+                weight_init=["he-forward"])
+    return model
+
+
+def test_simple_cifar10_desc():
+    model = build(zoo.SIMPLE_CIFAR10, (3, 32, 32))
+    assert model.get_output_shape() == (2, 10)
+
+
+def test_resnet34_imagenet_desc():
+    model = build(zoo.RESNET34_IMAGENET, (3, 224, 224), class_num=1000)
+    assert model.get_output_shape() == (2, 1000)
+    # ResNet-34 has ~21.8M params for 1000 classes
+    n = model.get_parameter_num()
+    assert 21e6 < n < 23e6
+
+
+def test_resnet101_imagenet_desc():
+    model = build(zoo.RESNET101_IMAGENET, (3, 224, 224), class_num=1000)
+    assert model.get_output_shape() == (2, 1000)
+    n = model.get_parameter_num()
+    assert 42e6 < n < 46e6
+
+
+@pytest.mark.parametrize("variant", ["std", "skip", "wide"])
+def test_denet34_descs_build(variant):
+    model = build(zoo.denet34(variant), (3, 128, 128), class_num=20)
+    types = [l.type_name for l in model.layers]
+    assert "denet-corner" in types
+    assert "denet-sparse" in types
+    assert types[-1] == "denet-detect"
+    if variant == "wide":
+        assert "split" in types
+        assert model.use_split_mode
+
+
+def test_denet34_v2_desc_build():
+    model = build(zoo.denet34("skip", v2=True), (3, 128, 128), class_num=20)
+    detect = model.layers[-1]
+    assert detect.use_jointfit
+    assert detect.use_bounded_iou
+    sparse = [l for l in model.layers if l.type_name == "denet-sparse"][0]
+    assert sparse.nms_threshold == 0.7   # corner clustering on
+    assert sparse.local_max == 2
+
+
+def test_denet101_desc_build():
+    model = build(zoo.denet101("skip"), (3, 128, 128), class_num=80)
+    assert model.layers[-1].type_name == "denet-detect"

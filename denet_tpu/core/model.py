@@ -39,6 +39,9 @@ class Model:
         self.model_desc = None
         self.fname = None
         self.use_split_mode = False
+        # optional low-precision trunk compute (jnp.bfloat16 feeds the MXU at
+        # double rate; accumulation stays f32 via preferred_element_type)
+        self.compute_dtype = None
 
         # parameter / state pytrees (lists parallel to self.layers)
         self.params = None
@@ -188,7 +191,7 @@ class Model:
         device removes its inference-time double trunk evaluation."""
 
         def corner(params, state, x, rng):
-            ctx = Ctx(train=train, rng=rng)
+            ctx = Ctx(train=train, rng=rng, compute_dtype=self.compute_dtype)
             outputs = {0: x}
             for i in range(1, corner_index + 1):
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
@@ -214,7 +217,7 @@ class Model:
         corner_index = sparse_layer.corner_layer.layer_index
 
         def detect(params, state, sample_feat, sample_bbox):
-            ctx = Ctx(train=False,
+            ctx = Ctx(train=False, compute_dtype=self.compute_dtype,
                       aux={"sample_feat": sample_feat,
                            "sample_bbox": sample_bbox})
             seed = {corner_index: None}
@@ -259,7 +262,7 @@ class Model:
             logging.info("Building predict function")
 
             def predict(params, state, x):
-                ctx = Ctx(train=False)
+                ctx = Ctx(train=False, compute_dtype=self.compute_dtype)
                 outputs, _ = self.forward(params, state, x, ctx, use_remat=False)
                 return outputs[len(self.layers) - 1]
 

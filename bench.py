@@ -36,9 +36,9 @@ def calibrate_corner_head(model, x, target_corners=64):
     conv_params = model.params[idx]["layers"][1]
 
     rng = numpy.random.RandomState(0)
-    w = numpy.asarray(conv_params["weight"])
+    w = numpy.array(conv_params["weight"])
     w[:cn] = rng.normal(0.0, 0.05, w[:cn].shape)
-    b = numpy.asarray(conv_params["bias"])
+    b = numpy.array(conv_params["bias"])
     b[:cn] = 0.0
     conv_params["weight"] = jnp.asarray(w)
     conv_params["bias"] = jnp.asarray(b)
@@ -48,15 +48,14 @@ def calibrate_corner_head(model, x, target_corners=64):
     corner_pr = numpy.asarray(corner_fn(model.params, model.state, x)[0])
 
     # corner channel log-pr = -softplus(2*lh); passing threshold t requires
-    # lh < -0.5*logit(t).  Shift bias so the target_corners-th smallest lh
-    # lands exactly on the pass boundary.
+    # lh < -0.5*logit(t).  Shift each corner type's bias so its
+    # target_corners-th smallest lh lands exactly on the pass boundary.
     lh = -0.5 * (corner_pr[:, 1] - corner_pr[:, 0])     # (B, cn, H, W)
     q = numpy.partition(lh.reshape(lh.shape[0], cn, -1),
                         target_corners, axis=-1)[:, :, target_corners]
     bound = -0.5 * math.log(sparse.corner_threshold /
                             (1.0 - sparse.corner_threshold))
-    shift = float(numpy.median(bound - q))
-    b[:cn] = shift
+    b[:cn] = numpy.median(bound - q, axis=0)
     conv_params["bias"] = jnp.asarray(b)
 
 
@@ -68,9 +67,9 @@ def set_detect_head_operating_point(model):
     dnd = model.layers[-1]
     conv_params = model.params[dnd.layer_index]["layers"][1]
     rng = numpy.random.RandomState(1)
-    w = numpy.asarray(conv_params["weight"])
+    w = numpy.array(conv_params["weight"])
     w[:] = rng.normal(0.0, 0.5, w.shape)
-    b = numpy.asarray(conv_params["bias"])
+    b = numpy.array(conv_params["bias"])
     b[dnd.null_class] = 6.0
     conv_params["weight"] = jnp.asarray(w)
     conv_params["bias"] = jnp.asarray(b)

@@ -55,6 +55,7 @@ class Model:
 
         # cached jitted functions
         self._predict_fn = None
+        self._on_device = False
 
     # -- shapes --------------------------------------------------------------
 
@@ -113,6 +114,15 @@ class Model:
         self.state = [layer.init_state() for layer in self.layers]
         self.use_split_mode = any(l.has_split for l in self.layers)
         logging.verbose("Number of parameters in model: %d" % self.get_parameter_num())
+
+    def ensure_on_device(self):
+        """Device-put params/state once so repeated jit calls don't re-upload
+        the weights (numpy leaves are transferred on every call otherwise —
+        ~85MB/step for DeNet-34 through a remote-TPU link)."""
+        if self.params is not None and not self._on_device:
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+            self.state = jax.tree_util.tree_map(jnp.asarray, self.state)
+            self._on_device = True
 
     # -- forward -------------------------------------------------------------
 
@@ -197,9 +207,13 @@ class Model:
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
                 outputs[i] = y
             collect = ctx.collect[corner_index]
+            corner_pr = collect["corner_pr"]
+            # ship only the per-position diff d = log pr_f - log pr_t: the
+            # host search needs nothing else and it halves the transfer
+            corner_diff = corner_pr[:, 0] - corner_pr[:, 1]
             if return_sample:
-                return collect["corner_pr"], collect["sample"]
-            return (collect["corner_pr"],)
+                return corner_diff, collect["sample"]
+            return (corner_diff,)
 
         fn = jax.jit(corner)
         rng_holder = {"key": jax.random.PRNGKey(self.rng_seed + 7919)}
@@ -258,6 +272,7 @@ class Model:
     # -- prediction ----------------------------------------------------------
 
     def predict_output_step(self, data_x):
+        self.ensure_on_device()
         if self._predict_fn is None:
             logging.info("Building predict function")
 

@@ -382,13 +382,13 @@ class DeNetDetectLayer(Layer):
             self._detect_fn = model.build_detect_fn(self)
 
         timer = common.Timer()
-        sample_bboxs = self.sparse_layer.get_samples(model, data_x, train=False,
-                                                     store_shared=True)
+        bbox_arr, _pr_arr, counts = self.sparse_layer.get_samples_arrays(
+            model, data_x, train=False, store_shared=True)
         timer.mark()
-        logging.verbose("Found sample bboxs: {}".format(
-            [len(bbox) for bbox in sample_bboxs]))
+        logging.verbose("Found sample bboxs: {}".format(counts.tolist()))
 
-        bboxs = self.sparse_layer.get_bbox_array(sample_bboxs)
+        sn = self.sample_num
+        bboxs = bbox_arr.reshape(self.batch_size, sn, sn, 4)
         timer.mark()
 
         r = self._detect_fn(model.params, model.state,
@@ -399,10 +399,9 @@ class DeNetDetectLayer(Layer):
             bboxs = numpy.asarray(r["bbox"])
         timer.mark()
 
-        sample_bbox_num = [len(s) for s in sample_bboxs]
         detlists = native.build_detections_nms(
             pr_threshold, nms_threshold, use_soft_nms, det_pr, fitness, bboxs,
-            sample_bbox_num)
+            counts)
         timer.mark()
 
         logging.verbose("Found detections:", [len(d) for d in detlists])

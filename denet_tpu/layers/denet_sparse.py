@@ -88,14 +88,17 @@ class DeNetSparseLayer(Layer):
 
     # -- host pipeline -------------------------------------------------------
 
-    def get_samples(self, model, data_x, train=False, store_shared=False):
-        """Run the corner function + native corner search.
+    def get_samples_arrays(self, model, data_x, train=False,
+                           store_shared=False):
+        """Run the corner function + native corner search (array results).
 
-        Returns per-image lists of (pr, bbox).  When ``store_shared`` the
-        sample feature map is kept on device (model._detect_sample_feat) for
-        the detect phase — replacing the reference's sample_shared stash and
-        avoiding its double trunk evaluation (denet_sparse.py:117-145).
+        Returns (bbox (B,sn^2,4), pr (B,sn^2), count (B,)).  When
+        ``store_shared`` the sample feature map is kept on device
+        (model._detect_sample_feat) for the detect phase — replacing the
+        reference's sample_shared stash and avoiding its double trunk
+        evaluation (denet_sparse.py:117-145).
         """
+        model.ensure_on_device()
         key = (train, store_shared)
         if key not in self._corner_fn:
             logging.verbose("Building corner function - store samples:",
@@ -108,21 +111,27 @@ class DeNetSparseLayer(Layer):
         result = self._corner_fn[key](model.params, model.state,
                                       jnp.asarray(data_x))
         if store_shared:
-            corner_pr, sample_feat = result
+            corner_diff, sample_feat = result
             model._detect_sample_feat = sample_feat
         else:
-            corner_pr = result[0]
-        corner_pr = numpy.asarray(corner_pr)
+            corner_diff = result[0]
+        corner_diff = numpy.asarray(corner_diff)
 
         timer.mark()
-        samples = native.build_samples(
-            self.thread_num, corner_pr, self.corner_threshold, self.sample_num,
-            self.corner_max, self.local_max, self.nms_threshold)
+        arrays = native.build_samples_arrays(
+            self.thread_num, corner_diff, self.corner_threshold,
+            self.sample_num, self.corner_max, self.local_max,
+            self.nms_threshold)
         timer.mark()
         logging.verbose("Took %i ms to get_samples (%i model, %i build, "
                         "%i max corners)" % (timer.current_ms(), timer.delta_ms(0),
                                              timer.delta_ms(1), self.corner_max))
-        return samples
+        return arrays
+
+    def get_samples(self, model, data_x, train=False, store_shared=False):
+        """Tuple-list variant (reference API) used by the training path."""
+        return native.samples_to_lists(*self.get_samples_arrays(
+            model, data_x, train, store_shared))
 
     def get_bbox_array(self, sample_bboxs):
         bboxs = numpy.zeros((self.batch_size, self.sample_num, self.sample_num, 4),

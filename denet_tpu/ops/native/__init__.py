@@ -69,32 +69,57 @@ def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
 
 
-def build_samples(thread_num, corner_pr, corner_threshold, sample_num,
-                  max_corners, local_max, cluster_threshold):
-    """Corner heatmaps -> per-image list of (pr, (x0, y0, x1, y1)) samples.
+def build_samples_arrays(thread_num, corner_diff, corner_threshold, sample_num,
+                         max_corners, local_max, cluster_threshold):
+    """Corner diff maps -> (bbox (B,sn^2,4), pr (B,sn^2), count (B,)) arrays.
 
-    Same call signature / return structure as the reference extension
-    (denet/layer/denet_sparse.cc build_samples).
+    ``corner_diff`` is (B, corner_num, H, W) float32 with
+    d = log pr_f - log pr_t per position (computed on device — half the
+    host transfer of the full 2-channel heatmap).  This is the zero-copy hot
+    path used at inference; ``build_samples`` wraps it with the reference's
+    list-of-tuples return structure.
     """
-    corner_pr = numpy.ascontiguousarray(corner_pr, dtype=numpy.float32)
-    b, two, corner_num, h, w = corner_pr.shape
-    assert two == 2
+    corner_diff = numpy.ascontiguousarray(corner_diff, dtype=numpy.float32)
+    b, corner_num, h, w = corner_diff.shape
     sc = sample_num * sample_num
     out_bbox = numpy.zeros((b, sc, 4), dtype=numpy.float32)
     out_pr = numpy.zeros((b, sc), dtype=numpy.float32)
     out_count = numpy.zeros((b,), dtype=numpy.int32)
     get_lib().build_samples(
-        _f32p(corner_pr), b, corner_num, h, w,
+        _f32p(corner_diff), b, corner_num, h, w,
         ctypes.c_float(corner_threshold), sample_num, max_corners, local_max,
         ctypes.c_float(cluster_threshold), thread_num,
         _f32p(out_bbox), _f32p(out_pr), _i32p(out_count))
+    return out_bbox, out_pr, out_count
 
+
+def samples_to_lists(out_bbox, out_pr, out_count):
+    """Array results -> per-image [(pr, (x0, y0, x1, y1)), ...] lists."""
     samples = []
-    for i in range(b):
+    for i in range(out_bbox.shape[0]):
         n = int(out_count[i])
-        samples.append([(float(out_pr[i, j]), tuple(float(v) for v in out_bbox[i, j]))
-                        for j in range(n)])
+        bb = out_bbox[i, :n].tolist()
+        pr = out_pr[i, :n].tolist()
+        samples.append([(pr[j], tuple(bb[j])) for j in range(n)])
     return samples
+
+
+def build_samples(thread_num, corner_pr, corner_threshold, sample_num,
+                  max_corners, local_max, cluster_threshold):
+    """Corner heatmaps -> per-image list of (pr, (x0, y0, x1, y1)) samples.
+
+    Same call signature / return structure as the reference extension
+    (denet/layer/denet_sparse.cc build_samples); accepts either the full
+    (B, 2, cn, H, W) heatmap or a precomputed (B, cn, H, W) diff map.
+    """
+    corner_pr = numpy.asarray(corner_pr, dtype=numpy.float32)
+    if corner_pr.ndim == 5:
+        corner_diff = corner_pr[:, 0] - corner_pr[:, 1]
+    else:
+        corner_diff = corner_pr
+    return samples_to_lists(*build_samples_arrays(
+        thread_num, corner_diff, corner_threshold, sample_num, max_corners,
+        local_max, cluster_threshold))
 
 
 def build_detections_nms(pr_threshold, nms_threshold, use_soft_nms, det_pr,

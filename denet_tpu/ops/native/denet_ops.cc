@@ -1,16 +1,17 @@
 // Host-side search ops for the DeNet TPU framework (ctypes ABI).
 //
 // Implements the same algorithms as the reference CPython extensions
-// (denet/layer/denet_sparse.cc, denet/layer/denet_detect.cc) re-written for a
-// plain-C ABI over contiguous float32 buffers so the JAX host pipeline can
-// call them without the Python C API in the hot path:
+// (denet/layer/denet_sparse.cc, denet/layer/denet_detect.cc) re-designed for
+// a single-CPU host feeding a remote TPU:
 //
-//   * build_samples: scan corner log-prob heatmaps for candidates above a
-//     threshold (optional local-max suppression), pair TL x BR and TR x BL
-//     corners (+4 center pairings when 5 corner types), dedup by bbox hash,
-//     score sigma(|sum log pr_f - sum log pr_t|), optional greedy IoU
-//     clustering with quota redistribution, and emit the top sample_num^2
-//     bboxes per image.  One worker thread per image.
+//   * build_samples consumes a per-position corner *diff* map
+//     d = log pr_f - log pr_t  (computed on device, half the transfer of the
+//     full two-channel heatmap).  A candidate bbox's score
+//     sigma(|sum_f - sum_t|) = 1/(1+exp(|sum of corner diffs|)) is monotone
+//     decreasing in |sum d|, so candidates carry the raw |sum d| and the exp
+//     is deferred to the <= sample_num^2 selected outputs.  The TL x BR
+//     enumeration is duplicate-free by construction so only the TR x BL and
+//     center phases pay hash lookups (open-addressing table).
 //
 //   * build_detections_nms: per-image per-class thresholded collection with
 //     greedy NMS or log-space gaussian Soft-NMS (arXiv:1704.04503).
@@ -24,17 +25,16 @@
 #include <cstring>
 #include <list>
 #include <thread>
-#include <unordered_set>
 #include <vector>
 
 namespace {
 
 struct Sample {
-  float pr, x0, y0, x1, y1;
+  float key, x0, y0, x1, y1;  // key = |sum d| (lower is better)
   float width() const { return x1 - x0; }
   float height() const { return y1 - y0; }
   float area() const { return width() * height(); }
-  bool operator<(const Sample& o) const { return pr > o.pr; }  // sort desc
+  bool operator<(const Sample& o) const { return key < o.key; }
 };
 
 float overlap(const Sample& a, const Sample& b) {
@@ -50,56 +50,80 @@ float overlap_iou(const Sample& a, const Sample& b) {
 
 struct Corner {
   int x, y;
-  float log_pr;
+  float d;  // log pr_f - log pr_t at this position
 };
 
-inline uint64_t bbox_hash(int x0, int y0, int x1, int y1) {
+// open-addressing hash set for 64-bit bbox keys (power-of-two size)
+class BboxSet {
+ public:
+  explicit BboxSet(size_t expected) {
+    size_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    mask_ = cap - 1;
+    slots_.assign(cap, kEmpty);
+  }
+
+  // returns true if newly inserted
+  bool insert(uint64_t key) {
+    key += 1;  // reserve 0 as empty
+    size_t i = (key * 0x9E3779B97F4A7C15ull) & mask_;
+    while (true) {
+      uint64_t cur = slots_[i];
+      if (cur == key) return false;
+      if (cur == kEmpty) {
+        slots_[i] = key;
+        if (++count_ * 2 > slots_.size()) grow();
+        return true;
+      }
+      i = (i + 1) & mask_;
+    }
+  }
+
+ private:
+  void grow() {
+    std::vector<uint64_t> old;
+    old.swap(slots_);
+    mask_ = mask_ * 2 + 1;
+    slots_.assign(mask_ + 1, kEmpty);
+    count_ = 0;
+    for (uint64_t k : old)
+      if (k != kEmpty) {
+        size_t i = (k * 0x9E3779B97F4A7C15ull) & mask_;
+        while (slots_[i] != kEmpty) i = (i + 1) & mask_;
+        slots_[i] = k;
+        count_++;
+      }
+  }
+
+  static constexpr uint64_t kEmpty = 0;
+  std::vector<uint64_t> slots_;
+  size_t mask_ = 0;
+  size_t count_ = 0;
+};
+
+inline uint64_t bbox_key(int x0, int y0, int x1, int y1) {
   return (uint64_t(uint16_t(x0)) << 48) | (uint64_t(uint16_t(y0)) << 32) |
          (uint64_t(uint16_t(x1)) << 16) | uint64_t(uint16_t(y1));
 }
 
-// Accessor for corner_pr laid out (B, 2, corner_num, H, W) contiguous.
-struct CornerPr {
+// Per-image corner diff map (corner_num, H, W) contiguous.
+struct DiffMap {
   const float* data;
   int corner_num, height, width;
-  inline float at(int b, int t, int ci, int y, int x) const {
-    return data[((((int64_t)b * 2 + t) * corner_num + ci) * height + y) * width + x];
+  inline float at(int ci, int y, int x) const {
+    return data[((int64_t)ci * height + y) * width + x];
   }
 };
 
-void emit_sample(const CornerPr& cp, int b, int x0, int y0, int x1, int y1,
-                 std::vector<Sample>* out) {
-  float pr_f = cp.at(b, 0, 0, y0, x0) + cp.at(b, 0, 1, y0, x1) +
-               cp.at(b, 0, 2, y1, x0) + cp.at(b, 0, 3, y1, x1);
-  float pr_t = cp.at(b, 1, 0, y0, x0) + cp.at(b, 1, 1, y0, x1) +
-               cp.at(b, 1, 2, y1, x0) + cp.at(b, 1, 3, y1, x1);
-  if (cp.corner_num == 5) {
-    int cx = (x0 + x1) / 2, cy = (y0 + y1) / 2;
-    pr_f += cp.at(b, 0, 4, cy, cx);
-    pr_t += cp.at(b, 1, 4, cy, cx);
-  }
-  float pr = 1.0f / (1.0f + std::exp(std::fabs(pr_f - pr_t)));
-  out->push_back({pr, (float)x0 / cp.width, (float)y0 / cp.height,
-                  (float)(x1 + 1) / cp.width, (float)(y1 + 1) / cp.height});
-}
-
-float local_max_pr(const CornerPr& cp, int b, int ci, int y, int x, int r) {
-  int x0 = std::max(0, x - r), y0 = std::max(0, y - r);
-  int x1 = std::min(cp.width - 1, x + r), y1 = std::min(cp.height - 1, y + r);
-  float m = -1e30f;
-  for (int yy = y0; yy < y1; yy++)
-    for (int xx = x0; xx < x1; xx++)
-      m = std::max(m, cp.at(b, 1, ci, yy, xx));
-  return m;
-}
-
-// Greedy IoU clustering with quota redistribution (reference apply_cluster,
-// denet_sparse.cc:165-242).
+// Greedy IoU clustering with quota redistribution (reference semantics,
+// denet_sparse.cc:165-242): cap input by best-key, greedily merge clusters
+// whose members overlap a new sample above threshold, cap cluster count by
+// membership, then take the top (1 + floor(len*ratio)) of each cluster.
 struct Cluster {
   Sample bounds;
   std::vector<Sample> members;
   void add(const Sample& s) {
-    bounds.pr = std::max(bounds.pr, s.pr);
+    bounds.key = std::min(bounds.key, s.key);
     bounds.x0 = std::min(bounds.x0, s.x0);
     bounds.y0 = std::min(bounds.y0, s.y0);
     bounds.x1 = std::max(bounds.x1, s.x1);
@@ -117,7 +141,8 @@ struct Cluster {
 void apply_cluster(std::vector<Sample>& samples, float threshold,
                    size_t input_num, size_t output_num) {
   if (samples.size() > input_num) {
-    std::partial_sort(samples.begin(), samples.begin() + input_num, samples.end());
+    std::partial_sort(samples.begin(), samples.begin() + input_num,
+                      samples.end());
     samples.resize(input_num);
   }
 
@@ -154,79 +179,127 @@ void apply_cluster(std::vector<Sample>& samples, float threshold,
                  std::max<double>(1.0, (double)samples.size() - clusters.size());
   samples.clear();
   for (Cluster& c : clusters) {
-    size_t n = std::min(c.members.size(), (size_t)(1 + std::floor(c.members.size() * ratio)));
-    std::partial_sort(c.members.begin(), c.members.begin() + n, c.members.end());
+    size_t n = std::min(c.members.size(),
+                        (size_t)(1 + std::floor(c.members.size() * ratio)));
+    std::partial_sort(c.members.begin(), c.members.begin() + n,
+                      c.members.end());
     samples.insert(samples.end(), c.members.begin(), c.members.begin() + n);
   }
 }
 
-void build_samples_one(const CornerPr& cp, int b, float corner_threshold,
+void build_samples_one(const DiffMap& dm, float corner_threshold,
                        int sample_num, int max_corners, int local_max,
                        float cluster_threshold, float* out_bbox, float* out_pr,
                        int* out_count) {
   const size_t sample_count = (size_t)sample_num * sample_num;
-  const float threshold = std::log(corner_threshold);
+  const int H = dm.height, W = dm.width;
+  // pr_t > threshold  <=>  d < log((1-t)/t)
+  const float bound = std::log((1.0f - corner_threshold) / corner_threshold);
 
-  std::vector<std::vector<Corner>> corners(cp.corner_num);
-  for (int ci = 0; ci < cp.corner_num; ci++) {
-    for (int y = 0; y < cp.height; y++) {
-      for (int x = 0; x < cp.width; x++) {
-        float log_pr = cp.at(b, 1, ci, y, x);
-        if (log_pr <= threshold) continue;
-        if (local_max > 0 && log_pr < local_max_pr(cp, b, ci, y, x, local_max))
-          continue;
-        corners[ci].push_back({x, y, log_pr});
+  std::vector<std::vector<Corner>> corners(dm.corner_num);
+  for (int ci = 0; ci < dm.corner_num; ci++) {
+    auto& list = corners[ci];
+    for (int y = 0; y < H; y++) {
+      const float* row = dm.data + ((int64_t)ci * H + y) * W;
+      for (int x = 0; x < W; x++) {
+        float d = row[x];
+        if (d >= bound) continue;
+        if (local_max > 0) {
+          // local-max NMS in pr_t == local-min in d (reference scans the
+          // [y-r, y+r) x [x-r, x+r) window, denet_sparse.cc:474-487)
+          int x0 = std::max(0, x - local_max), y0 = std::max(0, y - local_max);
+          int x1 = std::min(W - 1, x + local_max);
+          int y1 = std::min(H - 1, y + local_max);
+          float dmin = 1e30f;
+          for (int yy = y0; yy < y1; yy++)
+            for (int xx = x0; xx < x1; xx++)
+              dmin = std::min(dmin, dm.at(ci, yy, xx));
+          if (d > dmin) continue;
+        }
+        list.push_back({x, y, d});
       }
     }
-    if ((int)corners[ci].size() > max_corners) {
-      std::partial_sort(corners[ci].begin(), corners[ci].begin() + max_corners,
-                        corners[ci].end(), [](const Corner& a, const Corner& c) {
-                          return a.log_pr > c.log_pr;
+    if ((int)list.size() > max_corners) {
+      std::partial_sort(list.begin(), list.begin() + max_corners, list.end(),
+                        [](const Corner& a, const Corner& c) {
+                          return a.d < c.d;
                         });
-      corners[ci].resize(max_corners);
+      list.resize(max_corners);
     }
   }
 
+  const auto& tl_list = corners[0];
+  const auto& tr_list = corners[1];
+  const auto& bl_list = corners[2];
+  const auto& br_list = corners[3];
+
   std::vector<Sample> samples;
-  std::unordered_set<uint64_t> seen;
-  auto try_emit = [&](int x0, int y0, int x1, int y1) {
-    uint64_t h = bbox_hash(x0, y0, x1, y1);
-    if (seen.insert(h).second) emit_sample(cp, b, x0, y0, x1, y1, &samples);
+  samples.reserve(tl_list.size() * br_list.size() / 2 + 16);
+
+  auto center_d = [&](int x0, int y0, int x1, int y1) {
+    if (dm.corner_num != 5) return 0.0f;
+    return dm.at(4, (y0 + y1) / 2, (x0 + x1) / 2);
   };
 
-  // top-left x bottom-right
-  for (const Corner& tl : corners[0])
-    for (const Corner& br : corners[3])
-      if (br.x > tl.x && br.y > tl.y) try_emit(tl.x, tl.y, br.x, br.y);
+  // phase 1: TL x BR — unique by construction, no hashing
+  for (const Corner& tl : tl_list) {
+    for (const Corner& br : br_list) {
+      if (br.x <= tl.x || br.y <= tl.y) continue;
+      float s = tl.d + dm.at(1, tl.y, br.x) + dm.at(2, br.y, tl.x) + br.d +
+                center_d(tl.x, tl.y, br.x, br.y);
+      samples.push_back({std::fabs(s), (float)tl.x / W, (float)tl.y / H,
+                         (float)(br.x + 1) / W, (float)(br.y + 1) / H});
+    }
+  }
 
-  // top-right x bottom-left
-  for (const Corner& tr : corners[1])
-    for (const Corner& bl : corners[2])
-      if (tr.x > bl.x && bl.y > tr.y) try_emit(bl.x, tr.y, tr.x, bl.y);
+  // corner-presence bitmasks make cross-phase duplicate checks O(1):
+  // a TR x BL bbox was already produced by TL x BR iff its TL and BR corner
+  // positions are both detected corners (each phase is internally dup-free).
+  std::vector<uint8_t> tl_mask(H * W, 0), tr_mask(H * W, 0),
+      bl_mask(H * W, 0), br_mask(H * W, 0);
+  for (const Corner& c : tl_list) tl_mask[c.y * W + c.x] = 1;
+  for (const Corner& c : tr_list) tr_mask[c.y * W + c.x] = 1;
+  for (const Corner& c : bl_list) bl_mask[c.y * W + c.x] = 1;
+  for (const Corner& c : br_list) br_mask[c.y * W + c.x] = 1;
 
-  // center pairings (5-corner models): reflect each corner through the center
-  if (cp.corner_num == 5) {
-    auto in_bounds = [&](int x0, int y0, int x1, int y1) {
-      return x0 >= 0 && y0 >= 0 && x1 < cp.width && y1 < cp.height &&
-             x1 > x0 && y1 > y0;
+  // phase 2: TR x BL
+  for (const Corner& tr : tr_list) {
+    for (const Corner& bl : bl_list) {
+      if (tr.x <= bl.x || bl.y <= tr.y) continue;
+      int x0 = bl.x, y0 = tr.y, x1 = tr.x, y1 = bl.y;
+      if (tl_mask[y0 * W + x0] && br_mask[y1 * W + x1]) continue;
+      float s = dm.at(0, y0, x0) + tr.d + bl.d + dm.at(3, y1, x1) +
+                center_d(x0, y0, x1, y1);
+      samples.push_back({std::fabs(s), (float)x0 / W, (float)y0 / H,
+                         (float)(x1 + 1) / W, (float)(y1 + 1) / H});
+    }
+  }
+
+  // phase 3: center pairings (5-corner models) — reflect each corner type
+  // through a detected center (reference denet_sparse.cc:377-468)
+  if (dm.corner_num == 5) {
+    BboxSet seen(4 * corners[4].size() * (tl_list.size() + 1) + 64);
+    auto try_emit = [&](int x0, int y0, int x1, int y1) {
+      if (x0 < 0 || y0 < 0 || x1 >= W || y1 >= H || x1 <= x0 || y1 <= y0)
+        return;
+      // already produced by a corner-pair phase?
+      if (tl_mask[y0 * W + x0] && br_mask[y1 * W + x1]) return;
+      if (tr_mask[y0 * W + x1] && bl_mask[y1 * W + x0]) return;
+      if (!seen.insert(bbox_key(x0, y0, x1, y1))) return;
+      float s = dm.at(0, y0, x0) + dm.at(1, y0, x1) + dm.at(2, y1, x0) +
+                dm.at(3, y1, x1) + dm.at(4, (y0 + y1) / 2, (x0 + x1) / 2);
+      samples.push_back({std::fabs(s), (float)x0 / W, (float)y0 / H,
+                         (float)(x1 + 1) / W, (float)(y1 + 1) / H});
     };
     for (const Corner& c : corners[4]) {
-      for (const Corner& tl : corners[0]) {
-        int x1 = tl.x + 2 * (c.x - tl.x), y1 = tl.y + 2 * (c.y - tl.y);
-        if (in_bounds(tl.x, tl.y, x1, y1)) try_emit(tl.x, tl.y, x1, y1);
-      }
-      for (const Corner& tr : corners[1]) {
-        int x0 = tr.x - 2 * (tr.x - c.x), y1 = tr.y + 2 * (c.y - tr.y);
-        if (in_bounds(x0, tr.y, tr.x, y1)) try_emit(x0, tr.y, tr.x, y1);
-      }
-      for (const Corner& bl : corners[2]) {
-        int x1 = bl.x + 2 * (c.x - bl.x), y0 = bl.y - 2 * (bl.y - c.y);
-        if (in_bounds(bl.x, y0, x1, bl.y)) try_emit(bl.x, y0, x1, bl.y);
-      }
-      for (const Corner& br : corners[3]) {
-        int x0 = br.x - 2 * (br.x - c.x), y0 = br.y - 2 * (br.y - c.y);
-        if (in_bounds(x0, y0, br.x, br.y)) try_emit(x0, y0, br.x, br.y);
-      }
+      for (const Corner& tl : tl_list)
+        try_emit(tl.x, tl.y, tl.x + 2 * (c.x - tl.x), tl.y + 2 * (c.y - tl.y));
+      for (const Corner& tr : tr_list)
+        try_emit(tr.x - 2 * (tr.x - c.x), tr.y, tr.x, tr.y + 2 * (c.y - tr.y));
+      for (const Corner& bl : bl_list)
+        try_emit(bl.x, bl.y - 2 * (bl.y - c.y), bl.x + 2 * (c.x - bl.x), bl.y);
+      for (const Corner& br : br_list)
+        try_emit(br.x - 2 * (br.x - c.x), br.y - 2 * (br.y - c.y), br.x, br.y);
     }
   }
 
@@ -241,7 +314,7 @@ void build_samples_one(const CornerPr& cp, int b, float corner_threshold,
     out_bbox[i * 4 + 1] = samples[i].y0;
     out_bbox[i * 4 + 2] = samples[i].x1;
     out_bbox[i * 4 + 3] = samples[i].y1;
-    out_pr[i] = samples[i].pr;
+    out_pr[i] = 1.0f / (1.0f + std::exp(samples[i].key));
   }
   *out_count = (int)n;
 }
@@ -250,27 +323,30 @@ void build_samples_one(const CornerPr& cp, int b, float corner_threshold,
 
 extern "C" {
 
-// corner_pr: (B, 2, corner_num, H, W) float32 log-probs.
+// corner_diff: (B, corner_num, H, W) float32 with d = log pr_f - log pr_t.
 // out_bbox: (B, sample_num^2, 4); out_pr: (B, sample_num^2); out_count: (B,)
-void build_samples(const float* corner_pr, int batch, int corner_num, int height,
-                   int width, float corner_threshold, int sample_num,
-                   int max_corners, int local_max, float cluster_threshold,
-                   int thread_num, float* out_bbox, float* out_pr,
-                   int* out_count) {
-  CornerPr cp{corner_pr, corner_num, height, width};
+void build_samples(const float* corner_diff, int batch, int corner_num,
+                   int height, int width, float corner_threshold,
+                   int sample_num, int max_corners, int local_max,
+                   float cluster_threshold, int thread_num, float* out_bbox,
+                   float* out_pr, int* out_count) {
   const size_t sc = (size_t)sample_num * sample_num;
+  const int64_t stride = (int64_t)corner_num * height * width;
 
   std::atomic<int> next(0);
   auto worker = [&]() {
     int b;
     while ((b = next.fetch_add(1)) < batch) {
-      build_samples_one(cp, b, corner_threshold, sample_num, max_corners,
-                        local_max, cluster_threshold, out_bbox + (size_t)b * sc * 4,
-                        out_pr + (size_t)b * sc, out_count + b);
+      DiffMap dm{corner_diff + b * stride, corner_num, height, width};
+      build_samples_one(dm, corner_threshold, sample_num, max_corners,
+                        local_max, cluster_threshold,
+                        out_bbox + (size_t)b * sc * 4, out_pr + (size_t)b * sc,
+                        out_count + b);
     }
   };
 
-  int nt = std::max(1, std::min(thread_num, batch));
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = std::max(1, std::min({thread_num, batch, hw}));
   if (nt == 1) {
     worker();
   } else {
@@ -299,6 +375,11 @@ void build_detections_nms(float pr_threshold, float nms_threshold,
     int cls;
   };
 
+  auto iou = [](const Det& a, const Det& c) {
+    Sample sa{0, a.x0, a.y0, a.x1, a.y1}, sc{0, c.x0, c.y0, c.x1, c.y1};
+    return overlap_iou(sa, sc);
+  };
+
   std::atomic<int> next(0);
   auto worker = [&]() {
     int b;
@@ -307,26 +388,19 @@ void build_detections_nms(float pr_threshold, float nms_threshold,
       int nbbox = bbox_num[b];
       for (int cls = 0; cls < class_num; cls++) {
         std::vector<Det> dets;
-        for (int j = 0; j < sn && j * sn < nbbox; j++) {
-          for (int i = 0; i < sn && j * sn + i < nbbox; i++) {
-            int64_t off = (((int64_t)b * class_num_p1 + cls) * sn + j) * sn + i;
-            float log_pr = det_pr[off];
-            if (log_pr < log_pr_threshold) continue;
-            float fit = fitness[off];
-            const float* bb = bbox + (((int64_t)b * sn + j) * sn + i) * 4;
-            dets.push_back({fit, bb[0], bb[1], bb[2], bb[3], cls});
-          }
+        const float* pr_base = det_pr + ((int64_t)b * class_num_p1 + cls) * sn * sn;
+        const float* fit_base = fitness + ((int64_t)b * class_num_p1 + cls) * sn * sn;
+        int limit = std::min(nbbox, sn * sn);
+        for (int i = 0; i < limit; i++) {
+          if (pr_base[i] < log_pr_threshold) continue;
+          const float* bb = bbox + ((int64_t)b * sn * sn + i) * 4;
+          dets.push_back({fit_base[i], bb[0], bb[1], bb[2], bb[3], cls});
         }
 
         if (nms_threshold <= 0.0f || nms_threshold >= 1.0f || dets.empty()) {
           all.insert(all.end(), dets.begin(), dets.end());
           continue;
         }
-
-        auto iou = [](const Det& a, const Det& c) {
-          Sample sa{0, a.x0, a.y0, a.x1, a.y1}, sc{0, c.x0, c.y0, c.x1, c.y1};
-          return overlap_iou(sa, sc);
-        };
 
         if (use_soft_nms) {
           std::list<Det> pool(dets.begin(), dets.end());
@@ -360,7 +434,9 @@ void build_detections_nms(float pr_threshold, float nms_threshold,
       int n = std::min((int)all.size(), max_dets);
       if ((int)all.size() > max_dets)
         std::partial_sort(all.begin(), all.begin() + n, all.end(),
-                          [](const Det& a, const Det& c) { return a.score > c.score; });
+                          [](const Det& a, const Det& c) {
+                            return a.score > c.score;
+                          });
       float* out = out_dets + (size_t)b * max_dets * 6;
       for (int i = 0; i < n; i++) {
         out[i * 6 + 0] = all[i].score;
@@ -374,10 +450,15 @@ void build_detections_nms(float pr_threshold, float nms_threshold,
     }
   };
 
-  int nt = std::max(1, std::min((int)std::thread::hardware_concurrency(), batch));
-  std::vector<std::thread> threads;
-  for (int i = 0; i < nt; i++) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = std::max(1, std::min(hw, batch));
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
 }
 
 }  // extern "C"

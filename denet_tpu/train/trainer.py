@@ -94,6 +94,8 @@ class Trainer:
             logging.info("Building training function - solver: %s, "
                          "use_acc_mode: %s" % (self.solver_mode, self.use_acc_mode))
             self._step_fn = self._build_step()
+        if self.mesh is None:
+            model.ensure_on_device()
 
         targets = model.get_targets(data_x, data_m)
         aux = dict(getattr(model, "train_aux", {}))

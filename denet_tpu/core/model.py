@@ -224,6 +224,54 @@ class Model:
 
         return call
 
+    def build_full_detect_fn(self, detect_layer, pr_threshold, nms_threshold,
+                             corner_k=256, top_m=128, top_n=100):
+        """ONE jitted function for the whole detection inference step:
+        trunk + corner head -> device corner search -> sparse RoI gather +
+        detect head -> device per-class NMS -> top-N detections.
+
+        The reference pipeline crossed the host boundary four times per batch
+        (corner download, sample upload, det download, NMS) — here the only
+        transfers are the image upload and the ~20KB detection list download.
+        Host fallbacks remain for soft-NMS and corner clustering.
+        """
+        from denet_tpu.ops import nms_device
+        from denet_tpu.ops.corner_search_device import corner_search
+
+        sparse = detect_layer.sparse_layer
+        corner_index = sparse.corner_layer.layer_index
+        sn = sparse.sample_num
+
+        def run(params, state, x):
+            ctx = Ctx(train=False, compute_dtype=self.compute_dtype)
+            outputs = {0: x}
+            for i in range(1, corner_index + 1):
+                y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
+                outputs[i] = y
+            collect = ctx.collect[corner_index]
+            corner_pr = collect["corner_pr"]
+            diff = corner_pr[:, 0] - corner_pr[:, 1]
+
+            bbox, pr, count = corner_search(diff, sparse.corner_threshold, sn,
+                                            corner_k)
+            bbox4 = bbox.reshape(-1, sn, sn, 4)
+
+            ctx2 = Ctx(train=False, compute_dtype=self.compute_dtype,
+                       aux={"sample_feat": collect["sample"],
+                            "sample_bbox": bbox4})
+            self.forward_range(params, state, corner_index + 1,
+                               {corner_index: None}, ctx2)
+            outs = detect_layer.detect_outputs(
+                ctx2.collect[detect_layer.layer_index])
+            final_bbox = outs.get("bbox", bbox4)
+            dets, det_count = nms_device.nms(
+                outs["det_pr"], outs["fitness"], final_bbox, count,
+                pr_threshold=pr_threshold, nms_threshold=nms_threshold,
+                top_m=top_m, top_n=top_n)
+            return dets, det_count
+
+        return jax.jit(run)
+
     def build_detect_fn(self, detect_layer):
         """Jitted detect phase: layers after the corner layer, fed the stashed
         sample feature map + sample bboxes; returns detection outputs."""

@@ -79,6 +79,7 @@ class DeNetDetectLayer(Layer):
                              self.sample_num)
 
         self._detect_fn = None
+        self._full_fn = {}
         logging.verbose("Adding", self)
 
     def apply(self, params, state, outputs, ctx):
@@ -376,6 +377,16 @@ class DeNetDetectLayer(Layer):
         logging.verbose("Using detection params - pr threshold: %f, "
                         "nms threshold: %f" % (pr_threshold, nms_threshold))
 
+        # fully-on-device fast path (host path handles soft-NMS and corner
+        # clustering, which stay sequential host algorithms)
+        use_device = (params.get("useDevicePipeline", 1) == 1 and
+                      not use_soft_nms and
+                      self.sparse_layer.nms_threshold >= 1.0)
+        if use_device:
+            return self._get_detections_device(model, data_x, data_m,
+                                               pr_threshold, nms_threshold,
+                                               params)
+
         first_detect = self._detect_fn is None
         if first_detect:
             logging.info("Building detection function")
@@ -418,3 +429,38 @@ class DeNetDetectLayer(Layer):
         for i, detlist in enumerate(detlists):
             results.append({"detections": detlist, "meta": data_m[i]})
         return results
+
+    def _get_detections_device(self, model, data_x, data_m, pr_threshold,
+                               nms_threshold, params):
+        """Single-jit detection path; only the final (B, top_n, 6) detection
+        list crosses the host boundary."""
+        import jax.numpy as jnp
+        from denet_tpu.ops import nms_device
+        global detect_time, detect_num
+
+        model.ensure_on_device()
+        key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
+               params.get("topM", 128), params.get("topN", 100))
+        first_detect = key not in self._full_fn
+        if first_detect:
+            logging.info("Building fused device detection function")
+            self._full_fn[key] = model.build_full_detect_fn(
+                self, pr_threshold, nms_threshold, corner_k=key[2],
+                top_m=key[3], top_n=key[4])
+
+        timer = common.Timer()
+        dets, det_count = self._full_fn[key](model.params, model.state,
+                                             jnp.asarray(data_x))
+        detlists = nms_device.dets_to_lists(dets, numpy.asarray(det_count))
+        timer.mark()
+
+        logging.verbose("Found detections:", [len(d) for d in detlists])
+        logging.verbose("FPS=%.1f (device pipeline, %i ms/batch)" % (
+            self.batch_size / timer.current(), timer.current_ms()))
+        if not first_detect:
+            detect_time += timer.current()
+            detect_num += self.batch_size
+            logging.info("Average FPS=%.1f" % (detect_num / detect_time))
+
+        return [{"detections": detlist, "meta": data_m[i]}
+                for i, detlist in enumerate(detlists)]

@@ -1,0 +1,163 @@
+"""Device-side (XLA) corner -> candidate-bbox search.
+
+TPU-native replacement for the host corner-pairing search in the inference
+hot path (the reference runs this on CPU threads — denet_sparse.cc
+build_samples; our host C++ port remains for training and for the corner
+*clustering* variant).  Keeping the search on device means the only per-batch
+host transfer is the final detection list.
+
+Algorithm (fixed shapes, one jit):
+  1. per (image, corner-type) take the strongest K corners by diff
+     d = log pr_f - log pr_t (smallest d), validity d < log((1-t)/t),
+  2. enumerate TL x BR and TR x BL pairs as K x K score grids
+     s = sum of the 4 (or 5, with center) corner diffs, gathering the two
+     non-list corners from the diff map; invalid/degenerate pairs -> +inf,
+  3. TR x BL pairs whose TL/BR corners are both detected corners are
+     duplicates of phase 1 and masked via scattered presence maps,
+  4. 5-corner models add 4 center-reflection phases (reference
+     denet_sparse.cc:377-468) with the same presence-map dedup,
+  5. top sample_num^2 candidates by |s| (ascending |s| == descending score
+     sigma(|s|), matching the reference ordering), bbox coordinates decoded
+     from the winning pair indices.
+
+K bounds the per-type corner count considered for pairing (the reference
+caps at 1024; K=256 keeps the K^2 pair grids cheap and is lossless for the
+corner counts trained detectors produce).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+
+@partial(jax.jit, static_argnames=("corner_threshold", "sample_num", "corner_k"))
+def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256):
+    """corner_diff: (B, cn, H, W) float32 -> (bbox (B,sn^2,4), pr (B,sn^2),
+    count (B,)) sorted by descending score."""
+    b, cn, h, w = corner_diff.shape
+    k = min(corner_k, h * w)
+    sample_count = sample_num * sample_num
+    bound = float(numpy.log((1.0 - corner_threshold) / corner_threshold))
+
+    flat = corner_diff.reshape(b, cn, h * w)
+    neg_vals, idx = jax.lax.top_k(-flat, k)          # strongest first
+    dk = -neg_vals                                   # (b, cn, k)
+    valid = dk < bound
+    xk = (idx % w).astype(jnp.int32)
+    yk = (idx // w).astype(jnp.int32)
+
+    # presence maps for cross-phase dedup
+    batch_ix = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    type_ix = jnp.arange(cn, dtype=jnp.int32)[None, :, None]
+    present = jnp.zeros((b, cn, h * w), dtype=bool)
+    present = present.at[batch_ix, type_ix, idx].max(valid)
+
+    def gather_map(ci, yy, xx):
+        """d[b, ci, yy, xx] for (b, k, k)-shaped index grids."""
+        return jnp.take_along_axis(flat[:, ci],
+                                   (yy * w + xx).reshape(b, -1),
+                                   axis=1).reshape(yy.shape)
+
+    def gather_present(ci, yy, xx):
+        return jnp.take_along_axis(present[:, ci],
+                                   (yy * w + xx).reshape(b, -1),
+                                   axis=1).reshape(yy.shape)
+
+    center_flat = flat[:, 4] if cn == 5 else None
+
+    def center_term(x0, y0, x1, y1):
+        if cn != 5:
+            return 0.0
+        cy = (y0 + y1) // 2
+        cx = (x0 + x1) // 2
+        return jnp.take_along_axis(center_flat, (cy * w + cx).reshape(b, -1),
+                                   axis=1).reshape(x0.shape)
+
+    inf = jnp.float32(numpy.inf)
+    phases_keys = []
+    phases_bbox = []
+
+    def emit(x0, y0, x1, y1, s, ok):
+        key = jnp.where(ok, jnp.abs(s), inf)
+        bbox = jnp.stack([x0.astype(jnp.float32) / w,
+                          y0.astype(jnp.float32) / h,
+                          (x1.astype(jnp.float32) + 1) / w,
+                          (y1.astype(jnp.float32) + 1) / h], axis=-1)
+        phases_keys.append(key.reshape(b, -1))
+        phases_bbox.append(bbox.reshape(b, -1, 4))
+
+    # phase 1: TL x BR (duplicate-free by construction)
+    x0 = xk[:, 0, :, None] * jnp.ones((1, 1, k), jnp.int32)
+    y0 = yk[:, 0, :, None] * jnp.ones((1, 1, k), jnp.int32)
+    x1 = xk[:, 3, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    y1 = yk[:, 3, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    ok = (valid[:, 0, :, None] & valid[:, 3, None, :] &
+          (x1 > x0) & (y1 > y0))
+    s = (dk[:, 0, :, None] + dk[:, 3, None, :] +
+         gather_map(1, y0, x1) + gather_map(2, y1, x0) +
+         center_term(x0, y0, x1, y1))
+    emit(x0, y0, x1, y1, s, ok)
+
+    # phase 2: TR x BL, dedup against phase 1 via presence maps
+    x1 = xk[:, 1, :, None] * jnp.ones((1, 1, k), jnp.int32)
+    y0 = yk[:, 1, :, None] * jnp.ones((1, 1, k), jnp.int32)
+    x0 = xk[:, 2, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    y1 = yk[:, 2, None, :] * jnp.ones((1, k, 1), jnp.int32)
+    ok = (valid[:, 1, :, None] & valid[:, 2, None, :] &
+          (x1 > x0) & (y1 > y0))
+    dup = gather_present(0, y0, x0) & gather_present(3, y1, x1)
+    s = (dk[:, 1, :, None] + dk[:, 2, None, :] +
+         gather_map(0, y0, x0) + gather_map(3, y1, x1) +
+         center_term(x0, y0, x1, y1))
+    emit(x0, y0, x1, y1, s, ok & ~dup)
+
+    # phases 3-6: center reflections (5-corner models)
+    if cn == 5:
+        cx = xk[:, 4, :, None] * jnp.ones((1, 1, k), jnp.int32)
+        cy = yk[:, 4, :, None] * jnp.ones((1, 1, k), jnp.int32)
+        cval = valid[:, 4, :, None]
+
+        def center_phase(ci):
+            px = xk[:, ci, None, :] * jnp.ones((1, k, 1), jnp.int32)
+            py = yk[:, ci, None, :] * jnp.ones((1, k, 1), jnp.int32)
+            pval = valid[:, ci, None, :]
+            if ci == 0:      # TL + center
+                x0c, y0c = px, py
+                x1c, y1c = px + 2 * (cx - px), py + 2 * (cy - py)
+            elif ci == 1:    # TR + center
+                x1c, y0c = px, py
+                x0c, y1c = px - 2 * (px - cx), py + 2 * (cy - py)
+            elif ci == 2:    # BL + center
+                x0c, y1c = px, py
+                x1c, y0c = px + 2 * (cx - px), py - 2 * (py - cy)
+            else:            # BR + center
+                x1c, y1c = px, py
+                x0c, y0c = px - 2 * (px - cx), py - 2 * (py - cy)
+            ok = (cval & pval & (x0c >= 0) & (y0c >= 0) &
+                  (x1c < w) & (y1c < h) & (x1c > x0c) & (y1c > y0c))
+            x0s = jnp.clip(x0c, 0, w - 1)
+            y0s = jnp.clip(y0c, 0, h - 1)
+            x1s = jnp.clip(x1c, 0, w - 1)
+            y1s = jnp.clip(y1c, 0, h - 1)
+            dup = ((gather_present(0, y0s, x0s) & gather_present(3, y1s, x1s)) |
+                   (gather_present(1, y0s, x1s) & gather_present(2, y1s, x0s)))
+            s = (gather_map(0, y0s, x0s) + gather_map(1, y0s, x1s) +
+                 gather_map(2, y1s, x0s) + gather_map(3, y1s, x1s) +
+                 center_term(x0s, y0s, x1s, y1s))
+            emit(x0s, y0s, x1s, y1s, s, ok & ~dup)
+
+        for ci in range(4):
+            center_phase(ci)
+
+    keys = jnp.concatenate(phases_keys, axis=1)
+    bboxes = jnp.concatenate(phases_bbox, axis=1)
+
+    top_negkeys, top_idx = jax.lax.top_k(-keys, sample_count)
+    top_keys = -top_negkeys
+    bbox_out = jnp.take_along_axis(bboxes, top_idx[..., None], axis=1)
+    found = top_keys < inf
+    pr = jnp.where(found, 1.0 / (1.0 + jnp.exp(top_keys)), 0.0)
+    bbox_out = jnp.where(found[..., None], bbox_out, 0.0)
+    count = jnp.sum(found, axis=1).astype(jnp.int32)
+    return bbox_out, pr, count

@@ -21,6 +21,17 @@ import denet_tpu.utils as common
 import denet_tpu.utils.logging as logging
 from denet_tpu.layers.base import Ctx, InitialLayer
 
+# Executables must stay alive for the life of the process: on the axon
+# remote-TPU runtime, freeing a compiled executable permanently degrades the
+# host->device transfer path (measured 17ms -> 650ms for a 25MB upload).
+# Every jitted function the model creates is registered here.
+_FN_KEEPALIVE = []
+
+
+def _keepalive(fn):
+    _FN_KEEPALIVE.append(fn)
+    return fn
+
 
 class Model:
     def __init__(self):
@@ -138,6 +149,14 @@ class Model:
         return [(points[i] + 1, points[i + 1] + 1) for i in range(len(points) - 1)
                 if points[i] + 1 < min(points[i + 1] + 1, len(self.layers) + 1)]
 
+    @staticmethod
+    def prep_input(x, ctx):
+        """uint8 image batches decode to [0,1] on device (4x less host->device
+        traffic than float32 — the deployment-realistic input format)."""
+        if x.dtype == jnp.uint8:
+            return x.astype(ctx.compute_dtype or jnp.float32) / 255.0
+        return x
+
     def forward(self, params, state, x, ctx, use_remat=None):
         """Returns (outputs, new_state); ctx.collect filled with cost tensors.
 
@@ -146,7 +165,7 @@ class Model:
         """
         if use_remat is None:
             use_remat = ctx.train
-        outputs = {0: x}
+        outputs = {0: self.prep_input(x, ctx)}
         new_state = [{}] + [None] * (len(self.layers) - 1)
 
         segments = self.segments(use_remat)
@@ -202,7 +221,7 @@ class Model:
 
         def corner(params, state, x, rng):
             ctx = Ctx(train=train, rng=rng, compute_dtype=self.compute_dtype)
-            outputs = {0: x}
+            outputs = {0: self.prep_input(x, ctx)}
             for i in range(1, corner_index + 1):
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
                 outputs[i] = y
@@ -215,7 +234,7 @@ class Model:
                 return corner_diff, collect["sample"]
             return (corner_diff,)
 
-        fn = jax.jit(corner)
+        fn = _keepalive(jax.jit(corner))
         rng_holder = {"key": jax.random.PRNGKey(self.rng_seed + 7919)}
 
         def call(params, state, x):
@@ -244,7 +263,7 @@ class Model:
 
         def run(params, state, x):
             ctx = Ctx(train=False, compute_dtype=self.compute_dtype)
-            outputs = {0: x}
+            outputs = {0: self.prep_input(x, ctx)}
             for i in range(1, corner_index + 1):
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
                 outputs[i] = y
@@ -270,7 +289,7 @@ class Model:
                 top_m=top_m, top_n=top_n)
             return dets, det_count
 
-        return jax.jit(run)
+        return _keepalive(jax.jit(run))
 
     def build_detect_fn(self, detect_layer):
         """Jitted detect phase: layers after the corner layer, fed the stashed
@@ -286,7 +305,7 @@ class Model:
             self.forward_range(params, state, corner_index + 1, seed, ctx)
             return detect_layer.detect_outputs(ctx.collect[detect_layer.layer_index])
 
-        return jax.jit(detect)
+        return _keepalive(jax.jit(detect))
 
     # -- cost ----------------------------------------------------------------
 
@@ -329,7 +348,7 @@ class Model:
                 outputs, _ = self.forward(params, state, x, ctx, use_remat=False)
                 return outputs[len(self.layers) - 1]
 
-            self._predict_fn = jax.jit(predict)
+            self._predict_fn = _keepalive(jax.jit(predict))
         return numpy.asarray(self._predict_fn(self.params, self.state,
                                               jnp.asarray(data_x)))
 

@@ -449,9 +449,9 @@ class DeNetDetectLayer(Layer):
                 top_m=key[3], top_n=key[4])
 
         timer = common.Timer()
-        dets, det_count = self._full_fn[key](model.params, model.state,
-                                             jnp.asarray(data_x))
-        detlists = nms_device.dets_to_lists(dets, numpy.asarray(det_count))
+        dets, _det_count = self._full_fn[key](model.params, model.state,
+                                              jnp.asarray(data_x))
+        detlists = nms_device.dets_to_lists(dets)   # one host transfer
         timer.mark()
 
         logging.verbose("Found detections:", [len(d) for d in detlists])
@@ -464,3 +464,86 @@ class DeNetDetectLayer(Layer):
 
         return [{"detections": detlist, "meta": data_m[i]}
                 for i, detlist in enumerate(detlists)]
+
+    def get_detections_batched(self, model, batches, params,
+                               defer_downloads=False):
+        """Pipelined multi-batch detection over the fused device path.
+
+        ``batches`` iterates (data_x, data_m) pairs.  JAX dispatch is async,
+        so batch k+1's upload and compute overlap with the host-side result
+        conversion of batch k — the steady-state rate is bounded by
+        max(device step, host conversion), not their sum.
+
+        ``defer_downloads=True`` accumulates the per-batch detection arrays
+        on device and drains them in ONE stacked transfer at the end.  On the
+        axon remote-TPU link the first device->host read permanently degrades
+        upload bandwidth ~30x, so a streaming loop must stay download-free;
+        this is the deployment-serving pattern (results flushed per window).
+        """
+        import jax.numpy as jnp
+        from denet_tpu.ops import nms_device
+        global detect_time, detect_num
+
+        pr_threshold = params.get("prThreshold", 0.01)
+        nms_threshold = params.get("nmsThreshold", 0.5)
+        use_soft_nms = params.get("useSoftNMS", 0) == 1
+        use_device = (params.get("useDevicePipeline", 1) == 1 and
+                      not use_soft_nms and
+                      self.sparse_layer.nms_threshold >= 1.0)
+        if not use_device:
+            results = []
+            for data_x, data_m in batches:
+                results += self.get_detections(model, data_x, data_m, params)
+            return results
+
+        model.ensure_on_device()
+        key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
+               params.get("topM", 128), params.get("topN", 100))
+        if key not in self._full_fn:
+            logging.info("Building fused device detection function")
+            self._full_fn[key] = model.build_full_detect_fn(
+                self, pr_threshold, nms_threshold, corner_k=key[2],
+                top_m=key[3], top_n=key[4])
+        fn = self._full_fn[key]
+
+        results = []
+        timer = common.Timer()
+        n_images = 0
+        if defer_downloads:
+            acc = []
+            metas_acc = []
+            for data_x, data_m in batches:
+                xj = jnp.asarray(data_x)                       # async upload
+                dets, _ = fn(model.params, model.state, xj)    # async compute
+                acc.append(dets)
+                metas_acc.append(data_m)
+                n_images += len(data_m)
+            # drain: plain per-batch transfers (no new ops -> no compiles);
+            # every upload/compute above was already dispatched async
+            for dets, data_m in zip(acc, metas_acc):
+                detlists = nms_device.dets_to_lists(numpy.asarray(dets))
+                results += [{"detections": dl, "meta": m}
+                            for dl, m in zip(detlists, data_m)]
+        else:
+            pending = None  # (dets_device, data_m)
+            for data_x, data_m in batches:
+                xj = jnp.asarray(data_x)                       # async upload
+                dets, _ = fn(model.params, model.state, xj)    # async compute
+                if pending is not None:
+                    detlists = nms_device.dets_to_lists(pending[0])
+                    results += [{"detections": dl, "meta": m}
+                                for dl, m in zip(detlists, pending[1])]
+                pending = (dets, data_m)
+                n_images += len(data_m)
+            if pending is not None:
+                detlists = nms_device.dets_to_lists(pending[0])
+                results += [{"detections": dl, "meta": m}
+                            for dl, m in zip(detlists, pending[1])]
+
+        dt = timer.current()
+        if n_images:
+            logging.info("Pipelined detection: %.1f images/sec (%i images)" % (
+                n_images / dt, n_images))
+            detect_time += dt
+            detect_num += n_images
+        return results

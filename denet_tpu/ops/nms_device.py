@@ -91,19 +91,24 @@ def nms(det_pr, fitness, bbox, count, pr_threshold=0.01, nms_threshold=0.5,
                                      axis=1)                     # (b, n)
     sel_bbox = jnp.take_along_axis(boxes, sel_sample[..., None], axis=1)
     det_valid = sel_scores > neg_inf
+    # +1.0 score sentinel marks invalid rows (valid log-scores are < 0), so
+    # the host can derive counts from the dets array alone (single download)
     dets = jnp.concatenate([
-        jnp.where(det_valid, sel_scores, 0.0)[..., None],
+        jnp.where(det_valid, sel_scores, 1.0)[..., None],
         jnp.where(det_valid, sel_cls, 0.0)[..., None],
         jnp.where(det_valid[..., None], sel_bbox, 0.0)], axis=-1)
     det_count = jnp.sum(det_valid, axis=1).astype(jnp.int32)
     return dets, det_count
 
 
-def dets_to_lists(dets, det_count):
+def dets_to_lists(dets, det_count=None):
     """(B, top_n, 6) array -> per-image [(pr, cls, bbox), ...] lists matching
-    the reference NMS return structure (pr = exp(score))."""
+    the reference NMS return structure (pr = exp(score)).  When ``det_count``
+    is None the counts come from the +1.0 score sentinel (one transfer)."""
     import math
     dets = numpy.asarray(dets)
+    if det_count is None:
+        det_count = numpy.sum(dets[:, :, 0] <= 0.0, axis=1)
     out = []
     for i in range(dets.shape[0]):
         n = int(det_count[i])

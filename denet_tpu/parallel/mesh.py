@@ -57,6 +57,16 @@ def replicated(mesh):
 
 
 def shard_args(mesh, tree, batch_leaves=False):
-    """Device-put a pytree: replicated, or batch-sharded on leading axis."""
+    """Device-put a pytree: replicated, or batch-sharded on leading axis.
+
+    Multi-host: batch-sharded leaves are assembled from each process's local
+    slice (every process passes the part of the global batch its local subset
+    loader produced — the per-host data assignment that replaces the
+    reference UpdateClient's subset scheduling, update_client.py:69-95)."""
+    if batch_leaves and jax.process_count() > 1:
+        sharding = batch_sharding(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            tree)
     sharding = batch_sharding(mesh) if batch_leaves else replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

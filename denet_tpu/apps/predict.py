@@ -139,19 +139,24 @@ def test_detector(mode, model, data, output_fname, params):
 
         logging.info("Subset %i: computing detections..." % subset)
         batch_num = data_x.shape[0] // model.batch_size
-        subset_det = []
-        for n in range(batch_num):
-            dx = data_x[n * model.batch_size:(n + 1) * model.batch_size]
-            dm = data_m[n * model.batch_size:(n + 1) * model.batch_size]
-            results = detect_layer.get_detections(model, dx, dm, detect_params)
 
-            if "image" in mode:
-                for i, r in enumerate(results):
-                    export_detection_image("%06i_dets.png" % (index + i), dx[i],
-                                           class_labels_inv, r["detections"])
-            subset_det += results
-            index += model.batch_size
+        def batch_iter():
+            for n in range(batch_num):
+                yield (data_x[n * model.batch_size:(n + 1) * model.batch_size],
+                       data_m[n * model.batch_size:(n + 1) * model.batch_size])
 
+        # pipelined device path (overlaps upload/compute/convert per batch);
+        # host path handles soft-NMS / corner clustering automatically
+        subset_det = detect_layer.get_detections_batched(model, batch_iter(),
+                                                         detect_params)
+        if "image" in mode:
+            for i, r in enumerate(subset_det):
+                b = i % model.batch_size
+                n = i // model.batch_size
+                dx = data_x[n * model.batch_size + b]
+                export_detection_image("%06i_dets.png" % (index + i), dx,
+                                       class_labels_inv, r["detections"])
+        index += batch_num * model.batch_size
         detections += subset_det[:data_size]
 
     logging.info("Found %i detections for %i samples" % (

@@ -66,6 +66,9 @@ class DeNetSparseLayer(Layer):
         logging.verbose("Adding", self)
 
     def apply(self, params, state, outputs, ctx):
+        import os
+        import jax
+
         corner_idx = self.corner_layer.layer_index
         if corner_idx in ctx.collect:
             sample_input = ctx.collect[corner_idx]["sample"]
@@ -73,7 +76,14 @@ class DeNetSparseLayer(Layer):
             # detect phase: corner pass already ran; features arrive as input
             sample_input = ctx.aux["sample_feat"]
         sample_bbox = ctx.aux["sample_bbox"]
-        y = sparse_gather(sample_input, sample_bbox, self.grid_size)
+        # Pallas MXU one-hot-matmul gather (opt-in via DENET_TPU_PALLAS=1;
+        # the XLA gather is the default — see ops/sparse_gather_pallas.py)
+        if (os.environ.get("DENET_TPU_PALLAS", "0") == "1" and
+                jax.default_backend() == "tpu"):
+            from denet_tpu.ops.sparse_gather_pallas import sparse_gather_pallas
+            y = sparse_gather_pallas(sample_input, sample_bbox, self.grid_size)
+        else:
+            y = sparse_gather(sample_input, sample_bbox, self.grid_size)
         return y, {}
 
     @staticmethod

@@ -46,6 +46,27 @@ def save_results(fname, error, class_errors):
                                                     d[2] * d[1] / 100), file=f)
 
 
+def parse_distort_mode(tokens):
+    """``--distort-mode o4 s0.1 r10 m0.5`` tokens -> distort_affine kwargs
+    (offset px, scale fraction, rotation degrees, mirror probability —
+    reference README.md:76-82)."""
+    kwargs = {}
+    for tok in tokens:
+        if not tok or tok in ("default", "disable"):
+            continue
+        key, val = tok[0], tok[1:]
+        if key == "o":
+            kwargs["doffset"] = float(val)
+            kwargs["use_integer_offset"] = True
+        elif key == "s":
+            kwargs["dscale"] = float(val)
+        elif key == "r":
+            kwargs["dtheta"] = float(val)
+        elif key == "m":
+            kwargs["mirror"] = float(val)
+    return kwargs
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         description="Train a convolutional network using labelled data.")
@@ -135,9 +156,12 @@ def main(argv=None):
             logging.info("Training with solver %s, learning rate %s, momentum "
                          "%s" % (args.solver, learn_rate, args.learn_momentum))
             train_data.shuffle()
+            distort_kwargs = parse_distort_mode(args.distort_mode)
             for subset in range(train_data.subset_num):
                 timer = common.Timer()
                 train_data.load_from_subset(subset)
+                if distort_kwargs:
+                    train_data.distort_affine(**distort_kwargs)
                 logging.info("Performing gradient descent...")
                 cost = trainer.train_epoch(train_data, epoch, learn_rate,
                                            args.learn_momentum,

@@ -193,6 +193,82 @@ class DatasetAbstract:
             new_data.append((fname, r, meta))
         self.data = new_data
 
+    def resize(self, size, filter=Image.BILINEAR):
+        """Resize every sample (PIL images or (C,H,W) arrays)."""
+        import scipy.ndimage
+        new_data = []
+        for fname, im, meta in self.data:
+            if self.get_data_type() == "image":
+                new_data.append((fname, im.resize(size, filter), meta))
+            else:
+                zx = size[0] / im.shape[1]
+                zy = size[1] / im.shape[2]
+                chans = [scipy.ndimage.zoom(im[c], [zx, zy])
+                         for c in range(im.shape[0])]
+                new_data.append((fname, numpy.stack(chans, axis=0), meta))
+        self.data = new_data
+
+    def transform_sample(self, sample, rotate=0, scale=(1, 1), shear=(0, 0),
+                         offset=(0, 0), mirror=False, bilinear=False):
+        """Affine-distort one (fname, image, meta) sample
+        (reference dataset/__init__.py:244-277)."""
+        import math as _math
+        from PIL import ImageOps
+        import scipy.ndimage
+
+        fname, im, meta = sample
+        rot = numpy.array([[_math.cos(rotate), _math.sin(rotate)],
+                           [-_math.sin(rotate), _math.cos(rotate)]])
+        sc = numpy.array([[1.0 / scale[0], 0], [0, 1.0 / scale[1]]])
+        shear_x = numpy.array([[1, shear[0]], [0, 1]])
+        shear_y = numpy.array([[1, 0], [shear[1], 1]])
+        tr = rot @ sc @ shear_x @ shear_y
+
+        if self.get_data_type() == "image":
+            resample = Image.BILINEAR if bilinear else Image.NEAREST
+            center = (im.size[0] / 2, im.size[1] / 2)
+            ox = center[0] - center[0] * tr[0, 0] - center[1] * tr[0, 1] - offset[0]
+            oy = center[1] - center[0] * tr[1, 0] - center[1] * tr[1, 1] - offset[1]
+            im = im.transform(im.size, Image.AFFINE,
+                              (tr[0, 0], tr[0, 1], ox, tr[1, 0], tr[1, 1], oy),
+                              resample=resample)
+            if mirror:
+                im = ImageOps.mirror(im)
+        else:
+            order = 1 if bilinear else 0
+            center = (im.shape[1] / 2, im.shape[2] / 2)
+            ox = center[0] - center[0] * tr[0, 0] - center[1] * tr[0, 1] - offset[0]
+            oy = center[1] - center[0] * tr[1, 0] - center[1] * tr[1, 1] - offset[1]
+            chans = [scipy.ndimage.affine_transform(im[c], tr[0:2, 0:2],
+                                                    [ox, oy], order=order)
+                     for c in range(im.shape[0])]
+            im = numpy.stack(chans, axis=0)
+            if mirror:
+                im = im[:, :, ::-1]
+        return (fname, im, meta)
+
+    def distort_affine(self, dtheta=0, dscale=0, dshear=0, doffset=0,
+                       mirror=0, use_integer_offset=False, bilinear=False):
+        """Random affine distortion of every sample in place (threaded in
+        the reference; sequential here — the mp image loader is the hot
+        augmentation path on this design)."""
+        import math as _math
+        for index in range(len(self.data)):
+            theta = numpy.random.uniform(-dtheta, dtheta) * _math.pi / 180.0
+            s = numpy.random.uniform(1.0 - dscale, 1.0 + dscale)
+            if use_integer_offset:
+                tx = numpy.random.randint(-doffset, doffset + 1)
+                ty = numpy.random.randint(-doffset, doffset + 1)
+            else:
+                tx = numpy.random.uniform(-doffset, doffset)
+                ty = numpy.random.uniform(-doffset, doffset)
+            kx = numpy.random.uniform(-dshear, dshear)
+            ky = numpy.random.uniform(-dshear, dshear)
+            m = numpy.random.random() < mirror
+            self.data[index] = self.transform_sample(
+                self.data[index], theta, (s, s), (kx, ky), (tx, ty), m,
+                bilinear)
+
     def augment_mirror(self):
         if self.get_data_type() == "image":
             self.data += [(f, im.transpose(Image.FLIP_LEFT_RIGHT), m)

@@ -4,15 +4,18 @@ The reference implements this op as a CUDA kernel with one thread per sample
 (denet/layer/denet_sparse_op.py).  A thread-per-sample scalar gather is the
 wrong shape for a TPU — instead the gather becomes a **one-hot matmul on the
 MXU**: for each of the gs x gs grid offsets, the sn^2 nearest-neighbour flat
-indices expand to a (sn^2, H*W) one-hot matrix multiplied against the
-(H*W, F) feature table.  At DeNet sizes (sn=24, gs=7, 64x64 maps, F=96)
-that is ~22 GFLOP/image of dense bf16 MXU work — microseconds — with fully
-static shapes and no scatter/gather units involved.
+indices expand to a one-hot (sn^2, H*W) matrix and the gather is
+feat_flat (F, H*W) contracted with it -> (F, sn^2).  At DeNet sizes (sn=24,
+gs=7, 64x64 maps, F=96) that is ~22 GFLOP/image of dense MXU work —
+microseconds — with fully static shapes and no scatter/gather units.
 
-Grid: one program per image; the image's feature map and sample bboxes live
-in VMEM.  Semantics identical to ops.sparse_gather (same rounding, clipping,
-channel layout, h/w channels); the custom VJP reuses the XLA scatter-add
-transpose so training works through either implementation.
+Mosaic-friendly layout choices: the sample axis stays flat (sn^2) inside the
+kernel; bbox components live in column vectors sliced from a (sn^2, 4)
+block; no transposes, no minor-dim reshapes, no dynamic gathers.  The
+(sn, sn) unflatten and the two h/w channels are appended outside in XLA.
+Semantics identical to ops.sparse_gather (same rounding, clipping, channel
+layout); the custom VJP reuses the XLA scatter-add transpose so training
+works through either implementation.
 """
 import functools
 
@@ -24,64 +27,77 @@ from jax.experimental.pallas import tpu as pltpu
 from denet_tpu.ops.sparse_gather import sparse_gather as sparse_gather_xla
 
 
-def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn):
+HW_CHUNK = 512   # one-hot slab width: bounds VMEM intermediates
+
+
+def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn2):
+    """One program per (image, grid offset): builds the (sn2, HW_CHUNK)
+    one-hot slabs and accumulates feat_chunk @ onehot^T on the MXU."""
     gs = grid_size
-    feat = feat_ref[0]                       # (F, H, W)
-    feat_flat = feat.reshape(f, h * w)
-    bbox = bbox_ref[0]                       # (sn, sn, 4)
+    g = pl.program_id(1)
+    gy = g // gs
+    gx = g % gs
+    inv = 1.0 / (gs - 1) if gs > 1 else 0.0
 
-    x0 = bbox[:, :, 0]
-    y0 = bbox[:, :, 1]
-    bw = bbox[:, :, 2] - x0
-    bh = bbox[:, :, 3] - y0
+    feat_flat = feat_ref[0].reshape(f, h * w)      # merge minor dims only
+    bbox = bbox_ref[0]                             # (sn2, 4)
 
-    hw_ids = jax.lax.broadcasted_iota(jnp.int32, (sn * sn, h * w), 1)
+    x0 = bbox[:, 0:1]                              # (sn2, 1) columns
+    y0 = bbox[:, 1:2]
+    bw = bbox[:, 2:3] - x0
+    bh = bbox[:, 3:4] - y0
 
-    for gy in range(gs):
-        for gx in range(gs):
-            ty = gy / (gs - 1) if gs > 1 else 0.0
-            tx = gx / (gs - 1) if gs > 1 else 0.0
-            sx = jnp.clip((x0 + tx * bw) * w, 0, w - 1)
-            sy = jnp.clip((y0 + ty * bh) * h, 0, h - 1)
-            xi = jnp.floor(sx + 0.5).astype(jnp.int32)
-            yi = jnp.floor(sy + 0.5).astype(jnp.int32)
-            flat = (yi * w + xi).reshape(sn * sn, 1)
+    tx = gx.astype(jnp.float32) * inv
+    ty = gy.astype(jnp.float32) * inv
+    sx = jnp.clip((x0 + tx * bw) * w, 0, w - 1)
+    sy = jnp.clip((y0 + ty * bh) * h, 0, h - 1)
+    xi = jnp.floor(sx + 0.5).astype(jnp.int32)
+    yi = jnp.floor(sy + 0.5).astype(jnp.int32)
+    flat = yi * w + xi                              # (sn2, 1)
 
-            onehot = (hw_ids == flat).astype(feat.dtype)        # (sn^2, HW)
-            gathered = jax.lax.dot_general(
-                onehot, feat_flat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (sn^2, F)
-            g = gy * gs + gx
-            block = gathered.reshape(sn, sn, f).transpose(2, 0, 1)
-            out_ref[0, g * f:(g + 1) * f] = block.astype(out_ref.dtype)
-
-    out_ref[0, f * gs * gs] = bh.astype(out_ref.dtype)
-    out_ref[0, f * gs * gs + 1] = bw.astype(out_ref.dtype)
+    chunk = min(HW_CHUNK, h * w)
+    hw_ids = jax.lax.broadcasted_iota(jnp.int32, (sn2, chunk), 1)
+    acc = jnp.zeros((f, sn2), dtype=jnp.float32)
+    for c in range(0, h * w, chunk):
+        onehot = (hw_ids + c == flat).astype(feat_flat.dtype)   # (sn2, chunk)
+        acc = acc + jax.lax.dot_general(
+            feat_flat[:, c:c + chunk], onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (F, sn2)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def _forward(sample_feat, sample_bbox, grid_size, interpret=False):
     b, f, h, w = sample_feat.shape
     _, sn, _, _2 = sample_bbox.shape
-    out_feat = f * grid_size * grid_size + 2
+    sn2 = sn * sn
+    gs2 = grid_size * grid_size
+
+    bbox_flat = sample_bbox.reshape(b, sn2, 4)
 
     kernel = functools.partial(_kernel, grid_size=grid_size, h=h, w=w, f=f,
-                               sn=sn)
-    return pl.pallas_call(
+                               sn2=sn2)
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, gs2),
         in_specs=[
-            pl.BlockSpec((1, f, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, f, h, w), lambda i, g: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sn, sn, 4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, sn2, 4), lambda i, g: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, out_feat, sn, sn), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, f, sn2), lambda i, g: (i, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, out_feat, sn, sn),
-                                       sample_feat.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, gs2, f, sn2), sample_feat.dtype),
         interpret=interpret,
-    )(sample_feat, sample_bbox)
+    )(sample_feat, bbox_flat)
+
+    # (B, gs2, F, sn2) -> (B, gs2*F, sn, sn): channel layout c = g*F + f
+    out = out.reshape(b, f * gs2, sn, sn)
+    # h/w channels appended in XLA (reference layout: ..., h, w)
+    bh = (sample_bbox[..., 3] - sample_bbox[..., 1]).astype(out.dtype)
+    bw = (sample_bbox[..., 2] - sample_bbox[..., 0]).astype(out.dtype)
+    return jnp.concatenate([out, bh[:, None], bw[:, None]], axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -191,3 +191,17 @@ def test_mscoco_reader(tmp_path):
     meta = data.data[0][2]
     assert meta["class"] == [0]
     assert meta["image"]["id"] == 100
+
+
+def test_resize_and_distort_affine(tmp_path):
+    root = str(tmp_path / "ds2")
+    for i in range(2):
+        make_image(os.path.join(root, "cls", "%i.png" % i), (16, 16))
+    data = dataset.load(root, "png")
+    data.resize((8, 8))
+    assert data.get_data_shape() == (3, 8, 8)
+    numpy.random.seed(0)
+    data.distort_affine(dtheta=10, dscale=0.1, doffset=2, mirror=0.5)
+    assert len(data) == 2
+    x, metas, size = data.export(2)
+    assert x.shape == (2, 3, 8, 8)

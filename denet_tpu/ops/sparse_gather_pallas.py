@@ -39,7 +39,7 @@ def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn2):
     gx = g % gs
     inv = 1.0 / (gs - 1) if gs > 1 else 0.0
 
-    feat_flat = feat_ref[0].reshape(f, h * w)      # merge minor dims only
+    feat_flat = feat_ref[0]                        # (f, h*w), pre-flattened
     bbox = bbox_ref[0]                             # (sn2, 4)
 
     x0 = bbox[:, 0:1]                              # (sn2, 1) columns
@@ -60,9 +60,12 @@ def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn2):
     acc = jnp.zeros((f, sn2), dtype=jnp.float32)
     for c in range(0, h * w, chunk):
         onehot = (hw_ids + c == flat).astype(feat_flat.dtype)   # (sn2, chunk)
+        # HIGHEST precision: an f32 gather must not round features through
+        # the MXU's bf16 input path (one-hot weights are exact either way)
         acc = acc + jax.lax.dot_general(
             feat_flat[:, c:c + chunk], onehot,
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)                 # (F, sn2)
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
@@ -74,6 +77,9 @@ def _forward(sample_feat, sample_bbox, grid_size, interpret=False):
     gs2 = grid_size * grid_size
 
     bbox_flat = sample_bbox.reshape(b, sn2, 4)
+    # flatten the spatial axes in XLA — an in-kernel merge of non-lane-aligned
+    # minor dims is a Mosaic relayout hazard
+    feat_flat_in = sample_feat.reshape(b, f, h * w)
 
     kernel = functools.partial(_kernel, grid_size=grid_size, h=h, w=w, f=f,
                                sn2=sn2)
@@ -81,7 +87,7 @@ def _forward(sample_feat, sample_bbox, grid_size, interpret=False):
         kernel,
         grid=(b, gs2),
         in_specs=[
-            pl.BlockSpec((1, f, h, w), lambda i, g: (i, 0, 0, 0),
+            pl.BlockSpec((1, f, h * w), lambda i, g: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sn2, 4), lambda i, g: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -90,7 +96,7 @@ def _forward(sample_feat, sample_bbox, grid_size, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, gs2, f, sn2), sample_feat.dtype),
         interpret=interpret,
-    )(sample_feat, bbox_flat)
+    )(feat_flat_in, bbox_flat)
 
     # (B, gs2, F, sn2) -> (B, gs2*F, sn, sn): channel layout c = g*F + f
     out = out.reshape(b, f * gs2, sn, sn)

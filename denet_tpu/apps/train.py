@@ -145,6 +145,9 @@ def main(argv=None):
 
     model = model_mod.initialize(args, data_shape, class_labels, class_num)
     model.gradient_clip = args.gradient_clip
+    if args.compute_dtype == "bfloat16":
+        import jax.numpy as jnp
+        model.compute_dtype = jnp.bfloat16
     trainer = Trainer(model, args.solver, args.cost_factors,
                       use_acc_mode=args.use_acc_mode, seed=args.seed)
 

@@ -368,6 +368,23 @@ class Model:
             pr = pr[:dataset_size]
         return pr
 
+    def predict_custom(self, dataset, output_func, output_shape):
+        """Evaluate an arbitrary per-batch output function over a dataset
+        (reference model_cnn.py:514-539)."""
+        import math
+        dataset_x, _dataset_y, dataset_size = dataset.export(self.batch_size)
+        n = math.ceil(dataset_size / self.batch_size)
+        shape = tuple([n * output_shape[0]] + list(output_shape)[1:])
+        result = numpy.zeros(shape, dtype=numpy.float32)
+        for index in range(n):
+            data_x = dataset_x[index * self.batch_size:(index + 1) * self.batch_size]
+            data_y = output_func(data_x)
+            result[index * output_shape[0]:(index + 1) * output_shape[0]] = \
+                numpy.asarray(data_y)
+        if (dataset_size % self.batch_size) != 0:
+            result = result[:dataset_size]
+        return result
+
     def predict_label(self, dataset):
         pr = self.predict_output(dataset)
         assert pr.ndim == 2

@@ -67,7 +67,7 @@ class Trainer:
                  momentum, decay, rng):
             def loss_fn(params):
                 ctx = Ctx(train=True, rng=rng, epoch=epoch, iteration=iteration,
-                          aux=aux)
+                          aux=aux, compute_dtype=model.compute_dtype)
                 total, (costs, new_state) = model.loss(
                     params, state, x, targets, ctx, cost_factors)
                 return total, (costs, new_state)

@@ -126,10 +126,10 @@ def main():
         r = fn(model.params, model.state, jnp.asarray(x))
         numpy.asarray(r[0])
 
-    iters = 25
+    iters = 24
     t0 = time.time()
     results = detect_layer.get_detections_batched(
-        model, ((x, metas) for _ in range(iters)), params)
+        model, ((x, metas) for _ in range(iters)), params, stage_batches=4)
     dt = time.time() - t0
     assert len(results) == batch * iters
     hz = batch * iters / dt

@@ -466,7 +466,7 @@ class DeNetDetectLayer(Layer):
                 for i, detlist in enumerate(detlists)]
 
     def get_detections_batched(self, model, batches, params,
-                               defer_downloads=False):
+                               defer_downloads=False, stage_batches=1):
         """Pipelined multi-batch detection over the fused device path.
 
         ``batches`` iterates (data_x, data_m) pairs.  JAX dispatch is async,
@@ -479,6 +479,11 @@ class DeNetDetectLayer(Layer):
         axon remote-TPU link the first device->host read permanently degrades
         upload bandwidth ~30x, so a streaming loop must stay download-free;
         this is the deployment-serving pattern (results flushed per window).
+
+        ``stage_batches=G`` uploads G batches in one host->device transfer
+        and computes them as G model-batch steps from device slices —
+        amortizes the link's ~90ms per-transfer overhead without changing
+        the model's batch size.
         """
         import jax.numpy as jnp
         from denet_tpu.ops import nms_device
@@ -505,6 +510,28 @@ class DeNetDetectLayer(Layer):
                 self, pr_threshold, nms_threshold, corner_k=key[2],
                 top_m=key[3], top_n=key[4])
         fn = self._full_fn[key]
+
+        if stage_batches > 1:
+            def staged(src):
+                group = []
+                for item in src:
+                    group.append(item)
+                    if len(group) == stage_batches:
+                        yield group
+                        group = []
+                if group:
+                    yield group
+
+            def regrouped():
+                bs = model.batch_size
+                for group in staged(batches):
+                    stacked = numpy.concatenate([x for x, _ in group], axis=0)
+                    xg = jnp.asarray(stacked)                  # ONE upload
+                    for i, (_, data_m) in enumerate(group):
+                        yield xg[i * bs:(i + 1) * bs], data_m
+
+            return self.get_detections_batched(model, regrouped(), params,
+                                               defer_downloads, 1)
 
         results = []
         timer = common.Timer()

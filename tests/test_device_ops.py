@@ -135,3 +135,27 @@ def test_device_detection_pipeline_end_to_end():
         for pr, cls, bb in rd["detections"]:
             assert 0.0 <= pr <= 1.0
             assert 0 <= cls < model.class_num
+
+
+def test_batched_detection_with_staging():
+    """stage_batches groups uploads without changing results."""
+    import random
+    from tests.test_detection import build_detect_model, synthetic_batch
+    random.seed(9)
+    numpy.random.seed(9)
+    model = build_detect_model(use_bbox_reg=True)
+    batches = []
+    for _ in range(4):
+        x, metas = synthetic_batch()
+        batches.append((x, metas))
+    detect_layer = model.layers[-1]
+    p = {"prThreshold": 0.0001, "nmsThreshold": 0.5}
+    r1 = detect_layer.get_detections_batched(model, iter(batches), p)
+    r2 = detect_layer.get_detections_batched(model, iter(batches), p,
+                                             stage_batches=2)
+    assert len(r1) == len(r2) == 8
+    for a, b in zip(r1, r2):
+        assert len(a["detections"]) == len(b["detections"])
+        for da, db in zip(a["detections"], b["detections"]):
+            assert abs(da[0] - db[0]) < 1e-5
+            assert da[1] == db[1]

@@ -138,8 +138,11 @@ def load_restart_args(args_fname, args):
         args.epoch_start = int(v[-2][5:]) + 1
         args.subset_start = 0
     else:
+        # intermediate names are 1-based ("subset003" = subsets 0..2 done), so
+        # the resume index IS the parsed value (the reference added another +1,
+        # silently skipping one subset per restart — train_multi.py:263-264)
         args.epoch_start = int(v[-2][5:])
-        args.subset_start = int(v[-1][6:]) + 1
+        args.subset_start = int(v[-1][6:])
 
     args.model = model_fnames[-1]
     logging.info("Continuing training with model:", args.model, "epoch:",

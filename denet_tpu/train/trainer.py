@@ -128,7 +128,9 @@ class Trainer:
         self.slots = slots
 
         if self.use_acc_mode:
-            acc_tree = (params, slots)
+            # reference acc-mode averages every shared update: parameters,
+            # solver slots AND the BN EMA state (model_cnn.py:374-392)
+            acc_tree = (params, slots, state)
             if self._acc is None:
                 self._acc = jax.tree_util.tree_map(jnp.copy, acc_tree)
             else:
@@ -150,7 +152,7 @@ class Trainer:
             return
         n = float(self._acc_count)
         mean = jax.tree_util.tree_map(lambda a: a / n, self._acc)
-        self.model.params, self.slots = mean
+        self.model.params, self.slots, self.model.state = mean
         self._acc = None
         self._acc_count = 0
 

@@ -120,3 +120,34 @@ def test_modify_merge_split(tmp_path):
     modify_app.main(["--input", fname, "--output", out, "--merge"])
     m = model_mod.load_from_file(out)
     assert not m.use_split_mode
+
+
+def test_train_multi_restart_args(tmp_path, monkeypatch):
+    """Restart scans train.args + the newest *_epoch*.mdl.gz for the resume
+    point (reference train_multi.py:242-268)."""
+    import pickle
+    from denet_tpu.apps import train_multi
+
+    monkeypatch.chdir(str(tmp_path))
+    parser = train_multi.build_parser()
+    args = parser.parse_args(["--output-prefix", "./out/model"])
+    os.makedirs("out")
+    with open("train.args", "wb") as f:
+        pickle.dump(args, f)
+
+    for name in ("model_epoch000_subset002.mdl.gz",
+                 "model_epoch001_subset003.mdl.gz"):
+        with open(os.path.join("out", name), "w") as f:
+            f.write("x")
+
+    restored = train_multi.load_restart_args("train.args", args)
+    assert restored.epoch_start == 1
+    assert restored.subset_start == 3
+    assert restored.model.endswith("model_epoch001_subset003.mdl.gz")
+
+    # a final checkpoint resumes at the next epoch
+    with open(os.path.join("out", "model_epoch002_final.mdl.gz"), "w") as f:
+        f.write("x")
+    restored = train_multi.load_restart_args("train.args", args)
+    assert restored.epoch_start == 3
+    assert restored.subset_start == 0

@@ -126,3 +126,23 @@ def test_grad_accum_acc_mode():
     trainer.train_end()
     assert numpy.all(numpy.isfinite(
         numpy.asarray(model.params[1]["weight"])))
+
+
+def test_adam_update_math():
+    """Adam with bias correction by (iteration + 1) — model_cnn.py:296-305."""
+    p = {"w": jnp.asarray([1.0])}
+    g = {"w": jnp.asarray([0.5])}
+    roles = {"w": "weight"}
+    slots = solver_mod.init_slots(p, "adam")
+    b1, b2, lr, it, eps = 0.9, 0.999, 0.01, 3, 1e-8
+
+    p1, s1 = solver_mod.apply_updates("adam", p, g, slots, roles, lr,
+                                      [b1, b2], 0.0, it)
+    m = (1 - b1) * 0.5
+    v = (1 - b2) * 0.25
+    m_hat = m / (1 - b1 ** (it + 1))
+    v_hat = v / (1 - b2 ** (it + 1))
+    expect = 1.0 - lr * m_hat / (numpy.sqrt(v_hat) + eps)
+    assert numpy.allclose(p1["w"], [expect], atol=1e-7)
+    assert numpy.allclose(s1["m"]["w"], [m])
+    assert numpy.allclose(s1["v"]["w"], [v])

@@ -118,8 +118,13 @@ class DeNetSparseLayer(Layer):
                 return_sample=store_shared)
 
         timer = common.Timer()
-        result = self._corner_fn[key](model.params, model.state,
-                                      jnp.asarray(data_x))
+        # pipelined training passes one-step-stale params for sample
+        # selection (Trainer._train_epoch_pipelined)
+        params = getattr(model, "_target_params", None)
+        state = getattr(model, "_target_state", None)
+        if params is None:
+            params, state = model.params, model.state
+        result = self._corner_fn[key](params, state, jnp.asarray(data_x))
         if store_shared:
             corner_diff, sample_feat = result
             model._detect_sample_feat = sample_feat

@@ -23,11 +23,16 @@ from denet_tpu.train import solver as solver_mod
 
 class Trainer:
     def __init__(self, model, solver_mode="sgd", cost_factors=None,
-                 use_acc_mode=False, seed=None, mesh=None):
+                 use_acc_mode=False, seed=None, mesh=None,
+                 pipeline_targets=False):
         self.model = model
         self.solver_mode = solver_mode
         self.use_acc_mode = use_acc_mode
         self.mesh = mesh  # data-parallel GSPMD mesh (denet_tpu.parallel.mesh)
+        # overlap host target generation (corner search etc.) for batch k+1
+        # with the device step for batch k; sample selection then uses
+        # one-step-stale parameters (selection only — gradients stay exact)
+        self.pipeline_targets = pipeline_targets
 
         clayers = model.cost_layers()
         self.cost_factors = ([1.0] * len(clayers) if not cost_factors
@@ -84,11 +89,26 @@ class Trainer:
                 iteration, bias_decay, update_mask)
             return params_new, slots_new, new_state, total, costs
 
+        if self.pipeline_targets:
+            # pipelining keeps a stale params reference alive for the next
+            # batch's sample selection — donation would invalidate it
+            return jax.jit(step)
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
+    def prepare_targets(self, data_x, data_m):
+        """Host-side target generation for one batch -> (targets, aux).
+        Separated from the step so an epoch loop can overlap it with the
+        previous device step (SURVEY.md §7 hard part 1)."""
+        model = self.model
+        targets = model.get_targets(data_x, data_m)
+        aux = dict(getattr(model, "train_aux", {}))
+        return [jnp.asarray(t) for t in targets], aux
+
     def train_step(self, data_x, data_m, epoch, it, learning_rate, momentum,
-                   decay):
-        """One optimizer step; targets generated host-side per cost layer."""
+                   decay, prepared=None, block=True):
+        """One optimizer step; targets generated host-side per cost layer
+        (or passed precomputed via ``prepared``).  ``block=False`` returns
+        the (total, costs) device futures instead of floats."""
         model = self.model
         if self._step_fn is None:
             logging.info("Building training function - solver: %s, "
@@ -97,13 +117,12 @@ class Trainer:
         if self.mesh is None:
             model.ensure_on_device()
 
-        targets = model.get_targets(data_x, data_m)
-        aux = dict(getattr(model, "train_aux", {}))
+        targets, aux = (prepared if prepared is not None
+                        else self.prepare_targets(data_x, data_m))
 
         self.rng, step_rng = jax.random.split(self.rng)
         momentum = numpy.asarray(momentum, dtype=numpy.float32)
         data_x = jnp.asarray(data_x)
-        targets = [jnp.asarray(t) for t in targets]
 
         if self.mesh is not None:
             # GSPMD data parallelism: batch-major inputs sharded over the
@@ -138,8 +157,9 @@ class Trainer:
                     lambda a, b: a + b, self._acc, acc_tree)
             self._acc_count += 1
 
-        total = float(total)
-        return total, [float(c) for c in costs]
+        if not block:
+            return total, costs
+        return float(total), [float(c) for c in costs]
 
     # -- accumulation mode (parameter averaging, model_cnn.py:374-392) -------
 
@@ -165,6 +185,12 @@ class Trainer:
         index_num = math.ceil(dataset_size / self.model.batch_size)
         total_cost = 0.0
         bs = self.model.batch_size
+
+        if self.pipeline_targets:
+            return self._train_epoch_pipelined(dataset_x, dataset_m, index_num,
+                                               epoch, learning_rate, momentum,
+                                               decay)
+
         for index in range(index_num):
             timer = common.Timer()
             data_x = dataset_x[index * bs:(index + 1) * bs]
@@ -179,4 +205,50 @@ class Trainer:
                 "took: %i ms" % timer.current_ms())
             total_cost += cost
             self.model.iteration += 1
+        return total_cost
+
+    def _train_epoch_pipelined(self, dataset_x, dataset_m, index_num, epoch,
+                               learning_rate, momentum, decay):
+        """Pipelined epoch: the host target pipeline for batch k+1 (corner
+        search, gt matching, numpy packing) runs while the device executes
+        step k.  Sample *selection* uses the pre-step parameters (one step
+        stale); cost readback / NaN checks trail by one step."""
+        model = self.model
+        bs = model.batch_size
+
+        def batch(i):
+            return (dataset_x[i * bs:(i + 1) * bs],
+                    dataset_m[i * bs:(i + 1) * bs])
+
+        total_cost = 0.0
+        pending = None   # (total, costs) futures of the previous step
+        data_x, data_m = batch(0)
+        prepared = self.prepare_targets(data_x, data_m)
+        for index in range(index_num):
+            # stale refs for the NEXT batch's sample selection
+            model._target_params = model.params
+            model._target_state = model.state
+            out = self.train_step(data_x, data_m, epoch, model.iteration,
+                                  learning_rate, momentum, decay,
+                                  prepared=prepared, block=False)
+            model.iteration += 1
+
+            if index + 1 < index_num:
+                data_x, data_m = batch(index + 1)
+                prepared = self.prepare_targets(data_x, data_m)
+
+            if pending is not None:
+                cost = float(pending[0])
+                if math.isnan(cost):
+                    raise Exception("ERROR: Cost is NaN")
+                total_cost += cost
+            pending = out
+
+        model._target_params = None
+        model._target_state = None
+        if pending is not None:
+            cost = float(pending[0])
+            if math.isnan(cost):
+                raise Exception("ERROR: Cost is NaN")
+            total_cost += cost
         return total_cost

@@ -146,3 +146,54 @@ def test_adam_update_math():
     assert numpy.allclose(p1["w"], [expect], atol=1e-7)
     assert numpy.allclose(s1["m"]["w"], [m])
     assert numpy.allclose(s1["v"]["w"], [v])
+
+
+def test_pipelined_training_classification():
+    """pipeline_targets overlaps target prep with the device step; for
+    classification (no sample selection) results match exactly."""
+    def build():
+        numpy.random.seed(11)
+        model = Model()
+        model.batch_size = 8
+        model.class_num = 2
+        model.class_labels = {"0": 0, "1": 1}
+        model.build(["C[8,3]", "BN", "A", "P[2]", "R"], (1, 8, 8),
+                    border_mode="half", weight_init=["he-forward"])
+        return model
+
+    x = numpy.zeros((16, 1, 8, 8), dtype=numpy.float32)
+    labels = numpy.zeros(16, dtype=numpy.int64)
+    x[8:, :, :4] = 1.0
+    labels[8:] = 1
+    perm = numpy.arange(16).reshape(2, 8).T.reshape(-1)
+    data = FakeDataset(x[perm], labels[perm])
+
+    m1 = build()
+    t1 = Trainer(m1, solver_mode="sgd", seed=3)
+    m2 = build()
+    t2 = Trainer(m2, solver_mode="sgd", seed=3, pipeline_targets=True)
+    for epoch in range(3):
+        c1 = t1.train_epoch(data, epoch, 0.1, momentum=[0.9, 0.999])
+        c2 = t2.train_epoch(data, epoch, 0.1, momentum=[0.9, 0.999])
+    assert abs(c1 - c2) < 1e-4
+    assert numpy.allclose(numpy.asarray(m1.params[1]["weight"]),
+                          numpy.asarray(m2.params[1]["weight"]), atol=1e-5)
+
+
+def test_pipelined_training_detection_runs():
+    import random
+    from tests.test_detection import build_detect_model, synthetic_batch
+    random.seed(4)
+    model = build_detect_model(use_bbox_reg=True)
+    trainer = Trainer(model, solver_mode="sgd", seed=5, pipeline_targets=True)
+
+    x, metas = synthetic_batch()
+    xs = numpy.concatenate([x, x], axis=0)
+    ms = metas + metas
+
+    class DetData:
+        def export(self, batch_size):
+            return xs, ms, len(ms)
+
+    cost = trainer.train_epoch(DetData(), 0, 0.01, momentum=[0.9, 0.999])
+    assert numpy.isfinite(cost)

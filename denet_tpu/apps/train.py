@@ -103,6 +103,10 @@ def build_parser():
     parser.add_argument("--skip-layer-updates", type=int, nargs="+", default=[])
     parser.add_argument("--gradient-clip", type=float, default=0.0)
     parser.add_argument("--use-acc-mode", default=False, action="store_true")
+    parser.add_argument("--pipeline-targets", default=False,
+                        action="store_true",
+                        help="Overlap host target generation with the device "
+                             "step (one-step-stale sample selection)")
     parser.add_argument("--compute-dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="Trunk compute dtype (bfloat16 feeds the MXU at "
@@ -149,7 +153,8 @@ def main(argv=None):
         import jax.numpy as jnp
         model.compute_dtype = jnp.bfloat16
     trainer = Trainer(model, args.solver, args.cost_factors,
-                      use_acc_mode=args.use_acc_mode, seed=args.seed)
+                      use_acc_mode=args.use_acc_mode, seed=args.seed,
+                      pipeline_targets=args.pipeline_targets)
 
     learn_rate = args.learn_rate
     for epoch in range(args.epochs):

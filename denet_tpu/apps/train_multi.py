@@ -155,6 +155,10 @@ def build_parser():
         description="Train a convolutional network over a device mesh")
     logging.add_arguments(parser)
     parser.add_argument("--use-acc-mode", default=False, action="store_true")
+    parser.add_argument("--pipeline-targets", default=False,
+                        action="store_true",
+                        help="Overlap host target generation with the device "
+                             "step (one-step-stale sample selection)")
     parser.add_argument("--cost-factors", default=[], nargs="+", type=float)
     parser.add_argument("--model-save-dt", default=30, type=int,
                         help="Minutes between intermediate model saves (0 off)")
@@ -245,7 +249,8 @@ def main(argv=None):
     mesh = mesh_mod.make_mesh(args.devices)
     logging.info("Training over mesh:", mesh)
     trainer = Trainer(model, args.solver, args.cost_factors,
-                      use_acc_mode=args.use_acc_mode, seed=args.seed, mesh=mesh)
+                      use_acc_mode=args.use_acc_mode, seed=args.seed, mesh=mesh,
+                      pipeline_targets=args.pipeline_targets)
 
     if args.initial_tune > 0:
         logging.info("----- Initial Fine Tune -----")

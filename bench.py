@@ -126,7 +126,7 @@ def main():
         r = fn(model.params, model.state, jnp.asarray(x))
         numpy.asarray(r[0])
 
-    iters = 25
+    iters = 40
     t0 = time.time()
     results = detect_layer.get_detections_batched(
         model, ((x, metas) for _ in range(iters)), params)

@@ -237,3 +237,29 @@ def test_detection_train_then_infer_consistency():
                                           {"prThreshold": 0.0001,
                                            "nmsThreshold": 0.5})
     assert len(results) == 2
+
+
+def test_v2_clustering_model_inference_uses_host_path():
+    """A v2-style DNS (nms_threshold<1 -> corner clustering) must route
+    inference through the host search/clustering path and still work."""
+    numpy.random.seed(31)
+    random.seed(31)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    desc = ["C[8,3]", "BN", "A", "DNC[16]", "DNS[2,4,0.01,0.1,2,0.7]",
+            "C[16,1]", "BN", "A", "DND.JB[0.5,1.0,1.0]"]
+    model.build(desc, (3, 16, 16), border_mode="half",
+                weight_init=["he-forward"])
+    sparse = [l for l in model.layers if l.type_name == "denet-sparse"][0]
+    assert sparse.nms_threshold == 0.7 and sparse.local_max == 2
+
+    x, metas = synthetic_batch()
+    trainer = Trainer(model, solver_mode="sgd", seed=5)
+    cost, _ = trainer.train_step(x, metas, 0, 0, 0.01, [0.9, 0.999], 0.0)
+    assert numpy.isfinite(cost)
+
+    results = model.layers[-1].get_detections(
+        model, x, metas, {"prThreshold": 0.0001, "nmsThreshold": 0.5})
+    assert len(results) == 2

@@ -158,3 +158,57 @@ def test_resnet_block_shapes():
                                        jnp.asarray(x), ctx)
     out = numpy.asarray(outputs[len(model.layers) - 1])
     assert out.shape == (2, 10)
+
+
+def test_conv_same_even_kernel_matches_full_crop():
+    """'same' mode == full conv cropped from (k-1)//2 (reference
+    convolution.py:76-80), checked for an EVEN kernel where the asymmetric
+    padding matters."""
+    numpy.random.seed(5)
+    layers = [InitialLayer((1, 2, 6, 6))]
+    conv_same = ConvLayer(layers, filter_shape=(3, 2, 4, 4),
+                          border_mode="same", wb=0.2)
+    p = conv_same.init_params()
+    x = numpy.random.uniform(-1, 1, (1, 2, 6, 6)).astype(numpy.float32)
+    y_same, _, _ = run_layer(conv_same, p, {}, x)
+    assert y_same.shape == (1, 3, 6, 6)
+
+    conv_full = ConvLayer(layers, filter_shape=(3, 2, 4, 4),
+                          border_mode="full", wb=0.2)
+    y_full, _, _ = run_layer(conv_full, p, {}, x)
+    y0 = (4 - 1) // 2
+    ref = y_full[:, :, y0:y0 + 6, y0:y0 + 6]
+    assert numpy.allclose(y_same, ref, atol=1e-5)
+
+
+def test_deconv_is_adjoint_of_half_conv():
+    """<deconv(x), z> == <x, conv(z)> where conv is the stride-s 'half'
+    true-convolution with the channel-swapped kernel (the operator whose
+    input-gradient defines the reference deconv, deconvolution.py:63-65)."""
+    import jax
+    from denet_tpu.layers.deconvolution import DeconvLayer
+
+    numpy.random.seed(6)
+    for stride in [(1, 1), (2, 2)]:
+        in_shape = (1, 3, 5, 5)
+        layers = [InitialLayer(in_shape)]
+        deconv = DeconvLayer(layers, filter_shape=(4, 3, 3, 3),
+                             filter_stride=stride, use_bias=False,
+                             border_mode="half", wb=0.3)
+        p = deconv.init_params()
+        x = numpy.random.uniform(-1, 1, in_shape).astype(numpy.float32)
+        y, _, _ = run_layer(deconv, p, {}, x)
+        assert y.shape == deconv.output_shape
+
+        # forward conv: z (deconv-output space) -> x space
+        conv_layers = [InitialLayer(deconv.output_shape)]
+        conv = ConvLayer(conv_layers, filter_shape=(3, 4, 3, 3),
+                         filter_stride=stride, border_mode="half", wb=0.0)
+        w_T = numpy.transpose(p["weight"], (1, 0, 2, 3))
+        z = numpy.random.uniform(-1, 1, deconv.output_shape).astype(numpy.float32)
+        cz, _, _ = run_layer(conv, {"weight": w_T}, {}, z)
+        # conv output may be 1 smaller than x for stride 2 — crop both sides
+        h, w = cz.shape[2], cz.shape[3]
+        lhs = float(numpy.sum(y * z))
+        rhs = float(numpy.sum(x[:, :, :h, :w] * cz))
+        assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))

@@ -15,14 +15,13 @@ OUTPUT_DIR=./denet101-$DATASET-$MODEL_VAR
 IMAGE_LOADER="images_per_subset=1280,scale=512,crop=512,augment_photo,crop_mode=denet,scale_mode=large"
 TRAIN_PARAM="--solver nesterov --epochs 90 --batch-size 32 --learn-rate 0.1 --learn-momentum 0.9 --learn-anneal 0.1 --learn-anneal-epochs 30 60 --learn-decay 0.0001"
 
-MODEL_DESC=$(python3 - "$MODEL_VAR" <<'PY'
+MODEL_DESC=$(python3 - "$MODEL_VAR" "$DENET_DIR" <<'PY'
 import sys
-sys.path.insert(0, "PLACEHOLDER")
+sys.path.insert(0, sys.argv[2])
 from denet_tpu.models import zoo
 print(" ".join(zoo.denet101(sys.argv[1])))
 PY
 )
-MODEL_DESC=${MODEL_DESC//PLACEHOLDER/$DENET_DIR}
 
 case $DATASET in
   voc2007) DATA_TYPE=voc; TRAIN_DATA=2007-trainval,2012-trainval; TEST_DATA=2007-test;;

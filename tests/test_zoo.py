@@ -62,3 +62,25 @@ def test_denet34_v2_desc_build():
 def test_denet101_desc_build():
     model = build(zoo.denet101("skip"), (3, 128, 128), class_num=80)
     assert model.layers[-1].type_name == "denet-detect"
+
+
+def test_denet34_skip_full_train_and_infer():
+    """The flagship zoo desc (SKIPSRC.X trunk taps + skip head + DNC/DNS/DND)
+    must train one step and run the fused inference path end-to-end."""
+    import random
+    from denet_tpu.train.trainer import Trainer
+    random.seed(17)
+    model = build(zoo.denet34("skip"), (3, 64, 64), class_num=3)
+    trainer = Trainer(model, solver_mode="nesterov", seed=2)
+
+    x = numpy.random.RandomState(0).uniform(
+        0, 1, (2, 3, 64, 64)).astype(numpy.float32)
+    metas = [{"bbox": [(0.2, 0.2, 0.7, 0.7)], "class": [b % 3]}
+             for b in range(2)]
+    cost, costs = trainer.train_step(x, metas, 0, 0, 0.01, [0.9, 0.999], 1e-4)
+    assert numpy.isfinite(cost)
+    assert len(costs) == 2
+
+    results = model.layers[-1].get_detections(
+        model, x, metas, {"prThreshold": 0.0001, "nmsThreshold": 0.5})
+    assert len(results) == 2

@@ -243,6 +243,43 @@ class Model:
 
         return call
 
+    def build_sample_fn(self, sparse_layer, train=False, return_sample=False,
+                        out_count=None, corner_k=256):
+        """Jitted corner phase + DEVICE corner search: returns
+        (bbox, pr, count[, sample_feat]).  Only the small candidate arrays
+        cross to the host (vs downloading the full diff map for the C++
+        search) and the pairing runs on the VPU instead of the single host
+        CPU."""
+        from denet_tpu.ops.corner_search_device import corner_search
+
+        corner_index = sparse_layer.corner_layer.layer_index
+
+        def run(params, state, x, rng):
+            ctx = Ctx(train=train, rng=rng, compute_dtype=self.compute_dtype)
+            outputs = {0: self.prep_input(x, ctx)}
+            for i in range(1, corner_index + 1):
+                y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
+                outputs[i] = y
+            collect = ctx.collect[corner_index]
+            corner_pr = collect["corner_pr"]
+            diff = corner_pr[:, 0] - corner_pr[:, 1]
+            bbox, pr, count = corner_search(
+                diff, sparse_layer.corner_threshold, sparse_layer.sample_num,
+                corner_k=corner_k, out_count=out_count,
+                local_max=sparse_layer.local_max)
+            if return_sample:
+                return bbox, pr, count, collect["sample"]
+            return bbox, pr, count
+
+        fn = _keepalive(jax.jit(run))
+        rng_holder = {"key": jax.random.PRNGKey(self.rng_seed + 104729)}
+
+        def call(params, state, x):
+            rng_holder["key"], sub = jax.random.split(rng_holder["key"])
+            return fn(params, state, x, sub)
+
+        return call
+
     def build_full_detect_fn(self, detect_layer, pr_threshold, nms_threshold,
                              corner_k=256, top_m=128, top_n=100):
         """ONE jitted function for the whole detection inference step:

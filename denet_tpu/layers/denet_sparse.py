@@ -108,15 +108,9 @@ class DeNetSparseLayer(Layer):
         reference's sample_shared stash and avoiding its double trunk
         evaluation (denet_sparse.py:117-145).
         """
-        model.ensure_on_device()
-        key = (train, store_shared)
-        if key not in self._corner_fn:
-            logging.verbose("Building corner function - store samples:",
-                            store_shared, "train:", train)
-            self._corner_fn[key] = model.build_corner_fn(
-                self.corner_layer.layer_index, train=train,
-                return_sample=store_shared)
+        import os
 
+        model.ensure_on_device()
         timer = common.Timer()
         # pipelined training passes one-step-stale params for sample
         # selection (Trainer._train_epoch_pipelined)
@@ -124,23 +118,55 @@ class DeNetSparseLayer(Layer):
         state = getattr(model, "_target_state", None)
         if params is None:
             params, state = model.params, model.state
-        result = self._corner_fn[key](params, state, jnp.asarray(data_x))
-        if store_shared:
-            corner_diff, sample_feat = result
-            model._detect_sample_feat = sample_feat
+
+        use_host = os.environ.get("DENET_TPU_HOST_SEARCH", "0") == "1"
+        clustering = self.nms_threshold < 1.0
+
+        if use_host:
+            # reference-exact path: download the diff map, run the C++ scan/
+            # pairing/clustering (1024-corner cap, exact local-max borders)
+            key = ("host", train, store_shared)
+            if key not in self._corner_fn:
+                self._corner_fn[key] = model.build_corner_fn(
+                    self.corner_layer.layer_index, train=train,
+                    return_sample=store_shared)
+            result = self._corner_fn[key](params, state, jnp.asarray(data_x))
+            if store_shared:
+                model._detect_sample_feat = result[1]
+            corner_diff = numpy.asarray(result[0])
+            timer.mark()
+            arrays = native.build_samples_arrays(
+                self.thread_num, corner_diff, self.corner_threshold,
+                self.sample_num, self.corner_max, self.local_max,
+                self.nms_threshold)
         else:
-            corner_diff = result[0]
-        corner_diff = numpy.asarray(corner_diff)
+            # device path: corner pairing on the VPU; only the candidate
+            # arrays cross to the host.  With clustering enabled the device
+            # returns 10x sample_num^2 candidates and the native greedy
+            # clustering redistributes the quota (reference apply_cluster)
+            out_count = 10 * self.sample_count if clustering else None
+            key = ("dev", train, store_shared, out_count)
+            if key not in self._corner_fn:
+                logging.verbose("Building device sample function:", key)
+                self._corner_fn[key] = model.build_sample_fn(
+                    self, train=train, return_sample=store_shared,
+                    out_count=out_count)
+            result = self._corner_fn[key](params, state, jnp.asarray(data_x))
+            if store_shared:
+                model._detect_sample_feat = result[3]
+            bbox = numpy.asarray(result[0])
+            pr = numpy.asarray(result[1])
+            count = numpy.asarray(result[2])
+            timer.mark()
+            if clustering:
+                bbox, pr, count = native.cluster_samples(
+                    bbox, pr, count, self.nms_threshold,
+                    10 * self.sample_count, self.sample_count)
+            arrays = (bbox, pr, count)
 
         timer.mark()
-        arrays = native.build_samples_arrays(
-            self.thread_num, corner_diff, self.corner_threshold,
-            self.sample_num, self.corner_max, self.local_max,
-            self.nms_threshold)
-        timer.mark()
-        logging.verbose("Took %i ms to get_samples (%i model, %i build, "
-                        "%i max corners)" % (timer.current_ms(), timer.delta_ms(0),
-                                             timer.delta_ms(1), self.corner_max))
+        logging.verbose("Took %i ms to get_samples (%i model, %i build)" % (
+            timer.current_ms(), timer.delta_ms(0), timer.delta_ms(1)))
         return arrays
 
     def get_samples(self, model, data_x, train=False, store_shared=False):

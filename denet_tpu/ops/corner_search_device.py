@@ -31,14 +31,28 @@ import jax.numpy as jnp
 import numpy
 
 
-@partial(jax.jit, static_argnames=("corner_threshold", "sample_num", "corner_k"))
-def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256):
-    """corner_diff: (B, cn, H, W) float32 -> (bbox (B,sn^2,4), pr (B,sn^2),
-    count (B,)) sorted by descending score."""
+@partial(jax.jit, static_argnames=("corner_threshold", "sample_num",
+                                   "corner_k", "out_count", "local_max"))
+def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256,
+                  out_count=None, local_max=0):
+    """corner_diff: (B, cn, H, W) float32 -> (bbox (B,out,4), pr (B,out),
+    count (B,)) sorted by descending score.  ``out_count`` defaults to
+    sample_num^2; a larger value returns extra candidates (for host-side
+    corner clustering).  ``local_max=r`` keeps only corners that are the
+    strongest in their local window (reference local-max NMS scans rows
+    [y-r, y+r) — denet_sparse.cc:474-487; borders differ by the reference's
+    exclusive min(dim-1, .) bound)."""
     b, cn, h, w = corner_diff.shape
     k = min(corner_k, h * w)
-    sample_count = sample_num * sample_num
+    sample_count = out_count if out_count else sample_num * sample_num
     bound = float(numpy.log((1.0 - corner_threshold) / corner_threshold))
+
+    if local_max > 0:
+        r = local_max
+        wmin = jax.lax.reduce_window(
+            corner_diff, numpy.inf, jax.lax.min, (1, 1, 2 * r, 2 * r),
+            (1, 1, 1, 1), ((0, 0), (0, 0), (r, r - 1), (r, r - 1)))
+        corner_diff = jnp.where(corner_diff <= wmin, corner_diff, numpy.inf)
 
     flat = corner_diff.reshape(b, cn, h * w)
     neg_vals, idx = jax.lax.top_k(-flat, k)          # strongest first
@@ -153,6 +167,7 @@ def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256):
     keys = jnp.concatenate(phases_keys, axis=1)
     bboxes = jnp.concatenate(phases_bbox, axis=1)
 
+    sample_count = min(sample_count, keys.shape[1])
     top_negkeys, top_idx = jax.lax.top_k(-keys, sample_count)
     top_keys = -top_negkeys
     bbox_out = jnp.take_along_axis(bboxes, top_idx[..., None], axis=1)

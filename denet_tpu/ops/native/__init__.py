@@ -57,6 +57,11 @@ def get_lib():
                     f32p, f32p, f32p, i32p, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, ctypes.c_int, f32p, i32p]
                 lib.build_detections_nms.restype = None
+                lib.cluster_samples.argtypes = [
+                    f32p, f32p, i32p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_float, ctypes.c_int, ctypes.c_int,
+                    f32p, f32p, i32p]
+                lib.cluster_samples.restype = None
                 _lib = lib
     return _lib
 
@@ -89,6 +94,26 @@ def build_samples_arrays(thread_num, corner_diff, corner_threshold, sample_num,
         _f32p(corner_diff), b, corner_num, h, w,
         ctypes.c_float(corner_threshold), sample_num, max_corners, local_max,
         ctypes.c_float(cluster_threshold), thread_num,
+        _f32p(out_bbox), _f32p(out_pr), _i32p(out_count))
+    return out_bbox, out_pr, out_count
+
+
+def cluster_samples(bbox, pr, count, threshold, input_num, output_num):
+    """Greedy corner clustering + quota redistribution over precomputed
+    candidates (reference apply_cluster semantics, denet_sparse.cc:165-242).
+
+    bbox (B, n, 4) float32, pr (B, n) higher-better, count (B,) -> clustered
+    (bbox (B, output_num, 4), pr (B, output_num), count (B,))."""
+    bbox = numpy.ascontiguousarray(bbox, dtype=numpy.float32)
+    pr = numpy.ascontiguousarray(pr, dtype=numpy.float32)
+    count = numpy.ascontiguousarray(count, dtype=numpy.int32)
+    b, n, _ = bbox.shape
+    out_bbox = numpy.zeros((b, output_num, 4), dtype=numpy.float32)
+    out_pr = numpy.zeros((b, output_num), dtype=numpy.float32)
+    out_count = numpy.zeros((b,), dtype=numpy.int32)
+    get_lib().cluster_samples(
+        _f32p(bbox), _f32p(pr), _i32p(count), b, n,
+        ctypes.c_float(threshold), input_num, output_num,
         _f32p(out_bbox), _f32p(out_pr), _i32p(out_count))
     return out_bbox, out_pr, out_count
 

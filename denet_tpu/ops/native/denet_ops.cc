@@ -356,6 +356,56 @@ void build_samples(const float* corner_diff, int batch, int corner_num,
   }
 }
 
+// Standalone corner clustering over precomputed candidates (the device
+// corner search produces the candidates; this runs the reference's greedy
+// IoU clustering + quota redistribution on them).  pr: higher = better.
+// in_bbox: (B, n, 4); in_pr: (B, n); in_count: (B,) valid candidates.
+// out_bbox: (B, output_num, 4); out_pr; out_count.
+void cluster_samples(const float* in_bbox, const float* in_pr,
+                     const int* in_count, int batch, int n, float threshold,
+                     int input_num, int output_num, float* out_bbox,
+                     float* out_pr, int* out_count) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    int b;
+    while ((b = next.fetch_add(1)) < batch) {
+      int count = std::min(in_count[b], n);
+      std::vector<Sample> samples;
+      samples.reserve(count);
+      for (int i = 0; i < count; i++) {
+        const float* bb = in_bbox + ((int64_t)b * n + i) * 4;
+        // Sample.key: lower = better; candidates arrive sorted by pr desc
+        samples.push_back({-in_pr[(int64_t)b * n + i],
+                           bb[0], bb[1], bb[2], bb[3]});
+      }
+      if ((int)samples.size() > output_num && threshold < 1.0f)
+        apply_cluster(samples, threshold, input_num, output_num);
+
+      size_t m = std::min(samples.size(), (size_t)output_num);
+      std::partial_sort(samples.begin(), samples.begin() + m, samples.end());
+      for (size_t i = 0; i < m; i++) {
+        float* ob = out_bbox + ((int64_t)b * output_num + i) * 4;
+        ob[0] = samples[i].x0;
+        ob[1] = samples[i].y0;
+        ob[2] = samples[i].x1;
+        ob[3] = samples[i].y1;
+        out_pr[(int64_t)b * output_num + i] = -samples[i].key;
+      }
+      out_count[b] = (int)m;
+    }
+  };
+
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = std::max(1, std::min(hw, batch));
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+}
+
 // Greedy NMS / log-space gaussian Soft-NMS over per-class thresholded samples.
 // det_pr/fitness: (B, class_num+1, sn, sn); bbox: (B, sn, sn, 4);
 // bbox_num: (B,) valid sample counts.  Outputs per image at most max_dets

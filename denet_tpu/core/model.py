@@ -328,6 +328,34 @@ class Model:
 
         return _keepalive(jax.jit(run))
 
+    def build_detect_nms_fn(self, detect_layer, pr_threshold, nms_threshold,
+                            top_m=128, top_n=100):
+        """Jitted detect phase + device NMS, fed the stashed sample feature
+        map + (host-clustered) sample bboxes.  Used by the corner-clustering
+        (v2) inference path where the candidate selection round-trips the
+        host; everything else stays on device."""
+        from denet_tpu.ops import nms_device
+
+        sparse_layer = detect_layer.sparse_layer
+        corner_index = sparse_layer.corner_layer.layer_index
+        sn = sparse_layer.sample_num
+
+        def run(params, state, sample_feat, sample_bbox, count):
+            ctx = Ctx(train=False, compute_dtype=self.compute_dtype,
+                      aux={"sample_feat": sample_feat,
+                           "sample_bbox": sample_bbox})
+            self.forward_range(params, state, corner_index + 1,
+                               {corner_index: None}, ctx)
+            outs = detect_layer.detect_outputs(
+                ctx.collect[detect_layer.layer_index])
+            final_bbox = outs.get("bbox", sample_bbox)
+            return nms_device.nms(outs["det_pr"], outs["fitness"], final_bbox,
+                                  count, pr_threshold=pr_threshold,
+                                  nms_threshold=nms_threshold, top_m=top_m,
+                                  top_n=top_n)
+
+        return _keepalive(jax.jit(run))
+
     def build_detect_fn(self, detect_layer):
         """Jitted detect phase: layers after the corner layer, fed the stashed
         sample feature map + sample bboxes; returns detection outputs."""

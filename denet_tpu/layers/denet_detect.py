@@ -377,15 +377,18 @@ class DeNetDetectLayer(Layer):
         logging.verbose("Using detection params - pr threshold: %f, "
                         "nms threshold: %f" % (pr_threshold, nms_threshold))
 
-        # fully-on-device fast path (host path handles soft-NMS and corner
-        # clustering, which stay sequential host algorithms)
+        # fully-on-device fast path; corner-clustering (v2) models round-trip
+        # the host only for the greedy clustering; soft-NMS stays host-only
         use_device = (params.get("useDevicePipeline", 1) == 1 and
-                      not use_soft_nms and
-                      self.sparse_layer.nms_threshold >= 1.0)
-        if use_device:
+                      not use_soft_nms)
+        if use_device and self.sparse_layer.nms_threshold >= 1.0:
             return self._get_detections_device(model, data_x, data_m,
                                                pr_threshold, nms_threshold,
                                                params)
+        if use_device:
+            return self._get_detections_clustered(model, data_x, data_m,
+                                                  pr_threshold, nms_threshold,
+                                                  params)
 
         first_detect = self._detect_fn is None
         if first_detect:
@@ -457,6 +460,44 @@ class DeNetDetectLayer(Layer):
         logging.verbose("Found detections:", [len(d) for d in detlists])
         logging.verbose("FPS=%.1f (device pipeline, %i ms/batch)" % (
             self.batch_size / timer.current(), timer.current_ms()))
+        if not first_detect:
+            detect_time += timer.current()
+            detect_num += self.batch_size
+            logging.info("Average FPS=%.1f" % (detect_num / detect_time))
+
+        return [{"detections": detlist, "meta": data_m[i]}
+                for i, detlist in enumerate(detlists)]
+
+    def _get_detections_clustered(self, model, data_x, data_m, pr_threshold,
+                                  nms_threshold, params):
+        """v2 path: device corner search -> host greedy clustering -> fused
+        device detect+NMS.  Host transfers: candidate arrays down, clustered
+        bboxes up, final detections down."""
+        import jax.numpy as jnp
+        from denet_tpu.ops import nms_device
+        global detect_time, detect_num
+
+        model.ensure_on_device()
+        key = ("clustered", pr_threshold, nms_threshold,
+               params.get("topM", 128), params.get("topN", 100))
+        first_detect = key not in self._full_fn
+        if first_detect:
+            logging.info("Building clustered detection functions")
+            self._full_fn[key] = model.build_detect_nms_fn(
+                self, pr_threshold, nms_threshold, top_m=key[3], top_n=key[4])
+        fn = self._full_fn[key]
+
+        timer = common.Timer()
+        bbox_arr, _pr, counts = self.sparse_layer.get_samples_arrays(
+            model, data_x, train=False, store_shared=True)
+        sn = self.sample_num
+        bboxs = bbox_arr.reshape(self.batch_size, sn, sn, 4)
+        dets, _ = fn(model.params, model.state, model._detect_sample_feat,
+                     jnp.asarray(bboxs), jnp.asarray(counts))
+        detlists = nms_device.dets_to_lists(dets)
+        timer.mark()
+
+        logging.verbose("Found detections:", [len(d) for d in detlists])
         if not first_detect:
             detect_time += timer.current()
             detect_num += self.batch_size

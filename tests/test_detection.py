@@ -239,7 +239,7 @@ def test_detection_train_then_infer_consistency():
     assert len(results) == 2
 
 
-def test_v2_clustering_model_inference_uses_host_path():
+def test_v2_clustering_model_inference():
     """A v2-style DNS (nms_threshold<1 -> corner clustering) must route
     inference through the host search/clustering path and still work."""
     numpy.random.seed(31)

@@ -5,7 +5,6 @@ Reference-compatible surface (denet/model/train.py): same flags, epoch loop
 annealing, per-epoch ``.mdl.gz`` checkpoints.
 """
 import argparse
-import math
 import random
 import sys
 

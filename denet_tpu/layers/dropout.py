@@ -4,7 +4,6 @@ Reference: denet/layer/dropout.py — binomial mask, scale 1/(1-rate) at train
 time, identity at test time.
 """
 import jax
-import jax.numpy as jnp
 
 from denet_tpu.layers.base import Layer
 

@@ -1,0 +1,114 @@
+"""Heavier CLI integration tests: mesh training CLI and the VOC detection
+evaluation path end-to-end."""
+import os
+
+import numpy
+from PIL import Image
+
+import denet_tpu.core.model as model_mod
+from denet_tpu.apps import predict as predict_app
+from denet_tpu.apps import train_multi as train_multi_app
+from tests.test_apps import make_dataset
+
+
+def test_train_multi_cli_on_mesh(tmp_path, monkeypatch):
+    """model-train-multi over the virtual 8-device CPU mesh: subset loop,
+    double-buffered export, checkpointing, train.args persistence."""
+    monkeypatch.chdir(str(tmp_path))
+    train_dir = str(tmp_path / "train")
+    make_dataset(train_dir, n_per_class=8)
+    prefix = str(tmp_path / "out" / "model")
+    os.makedirs(str(tmp_path / "out"))
+
+    train_multi_app.main([
+        "--train", train_dir, "--extension", "png",
+        "--output-prefix", prefix, "--epochs", "2", "--batch-size", "8",
+        "--devices", "4", "--solver", "sgd", "--learn-rate", "0.05",
+        "--learn-momentum", "0.9", "--border-mode", "half", "--seed", "1",
+        "--model-save-dt", "0",
+        "--model-desc", "C[8,3]", "BN", "A", "P[2]", "R"])
+
+    final = prefix + "_epoch001_final.mdl.gz"
+    assert os.path.isfile(final)
+    assert os.path.isfile("train.args")
+    model = model_mod.load_from_file(final)
+    assert model.class_num == 2
+
+
+def make_voc_detect_setup(tmp_path):
+    """Synthetic VOCdevkit with colored-rectangle objects + a tiny trained
+    detection model saved as .mdl.gz."""
+    import random
+    from denet_tpu.core.model import Model
+    from denet_tpu.train.trainer import Trainer
+    from denet_tpu.data import pascal_voc
+
+    rng = numpy.random.RandomState(0)
+    random.seed(0)
+
+    root = str(tmp_path / "VOCdevkit")
+    jpeg = os.path.join(root, "VOC2007", "JPEGImages")
+    anno = os.path.join(root, "VOC2007", "Annotations")
+    sets = os.path.join(root, "VOC2007", "ImageSets", "Main")
+    for d in (jpeg, anno, sets):
+        os.makedirs(d)
+
+    size = 64
+    names = []
+    for i in range(4):
+        name = "%06d" % i
+        names.append(name)
+        px = rng.randint(0, 40, (size, size, 3)).astype(numpy.uint8)
+        x0, y0, w, h = 12, 16, 28, 24
+        px[y0:y0 + h, x0:x0 + w] = (200, 40, 40)
+        Image.fromarray(px).save(os.path.join(jpeg, name + ".jpg"))
+        with open(os.path.join(anno, name + ".xml"), "w") as f:
+            f.write("""<annotation><object><name>car</name>
+<difficult>0</difficult><bndbox><xmin>%d</xmin><ymin>%d</ymin>
+<xmax>%d</xmax><ymax>%d</ymax></bndbox></object></annotation>""" % (
+                x0 + 1, y0 + 1, x0 + w + 1, y0 + h + 1))
+    with open(os.path.join(sets, "test.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    # tiny detector trained a handful of steps on the same pattern
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 20
+    model.class_labels = dict(pascal_voc.VOC_CLASS_LABELS)
+    desc = ["C[16,3,2]", "BN", "A", "C[16,3,2]", "BN", "A",
+            "DNC[16,100]", "DNS[2,4,0.01,0.1]", "C.B[32,1]", "BN", "A",
+            "DND[0.5,1,1]"]
+    model.build(desc, (3, size, size), border_mode="half",
+                weight_init=["he-forward"])
+    trainer = Trainer(model, solver_mode="nesterov", seed=1)
+    gt = ((12) / size, 16 / size, (12 + 28) / size, (16 + 24) / size)
+    for it in range(120):
+        xs = rng.randint(0, 40, (2, 3, size, size)).astype(numpy.float32) / 255
+        for b in range(2):
+            xs[b, 0, 16:40, 12:40] = 0.78
+            xs[b, 1:, 16:40, 12:40] = 0.16
+        metas = [{"bbox": [gt], "class": [pascal_voc.VOC_CLASS_LABELS["car"]]}
+                 for _ in range(2)]
+        trainer.train_step(xs, metas, 0, it, 0.02, [0.9, 0.999], 0.0)
+
+    mdl = str(tmp_path / "detector.mdl.gz")
+    model_mod.save_to_file(model, mdl)
+    return root, mdl
+
+
+def test_predict_detect_voc_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(str(tmp_path))
+    root, mdl = make_voc_detect_setup(tmp_path)
+
+    predict_app.main([
+        "--model", mdl, "--input", root,
+        "--extension", "voc,2007-test,crop=64,scale=64",
+        "--batch-size", "2", "--predict-mode", "detect,voc",
+        "--results", str(tmp_path / "results" / "out"),
+        "--params", "prThreshold=0.0001,nmsThreshold=0.5"])
+
+    # raw detections + comp4 export files written
+    assert os.path.isfile(str(tmp_path / "results" / "detections.json"))
+    comp4 = [f for f in os.listdir(str(tmp_path / "results"))
+             if f.startswith("comp4_det_test_")]
+    assert len(comp4) >= 1

@@ -35,16 +35,46 @@ def test_train_multi_cli_on_mesh(tmp_path, monkeypatch):
     assert model.class_num == 2
 
 
-def make_voc_detect_setup(tmp_path):
-    """Synthetic VOCdevkit with colored-rectangle objects + a tiny trained
-    detection model saved as .mdl.gz."""
+def train_toy_detector(tmp_path, class_labels, target_class, size=64):
+    """Train a tiny detector on the synthetic red-rectangle pattern and save
+    it as .mdl.gz."""
     import random
     from denet_tpu.core.model import Model
     from denet_tpu.train.trainer import Trainer
+
+    rng = numpy.random.RandomState(7)
+    random.seed(7)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = len(class_labels)
+    model.class_labels = dict(class_labels)
+    desc = ["C[16,3,2]", "BN", "A", "C[16,3,2]", "BN", "A",
+            "DNC[16,100]", "DNS[2,4,0.01,0.1]", "C.B[32,1]", "BN", "A",
+            "DND[0.5,1,1]"]
+    model.build(desc, (3, size, size), border_mode="half",
+                weight_init=["he-forward"])
+    trainer = Trainer(model, solver_mode="nesterov", seed=1)
+    gt = (12 / size, 16 / size, (12 + 28) / size, (16 + 24) / size)
+    for it in range(120):
+        xs = rng.randint(0, 40, (2, 3, size, size)).astype(numpy.float32) / 255
+        for b in range(2):
+            xs[b, 0, 16:40, 12:40] = 0.78
+            xs[b, 1:, 16:40, 12:40] = 0.16
+        metas = [{"bbox": [gt], "class": [class_labels[target_class]]}
+                 for _ in range(2)]
+        trainer.train_step(xs, metas, 0, it, 0.02, [0.9, 0.999], 0.0)
+
+    mdl = str(tmp_path / ("detector_%d.mdl.gz" % len(class_labels)))
+    model_mod.save_to_file(model, mdl)
+    return mdl
+
+
+def make_voc_detect_setup(tmp_path):
+    """Synthetic VOCdevkit with colored-rectangle objects + a tiny trained
+    detection model saved as .mdl.gz."""
     from denet_tpu.data import pascal_voc
 
     rng = numpy.random.RandomState(0)
-    random.seed(0)
 
     root = str(tmp_path / "VOCdevkit")
     jpeg = os.path.join(root, "VOC2007", "JPEGImages")
@@ -70,29 +100,7 @@ def make_voc_detect_setup(tmp_path):
     with open(os.path.join(sets, "test.txt"), "w") as f:
         f.write("\n".join(names) + "\n")
 
-    # tiny detector trained a handful of steps on the same pattern
-    model = Model()
-    model.batch_size = 2
-    model.class_num = 20
-    model.class_labels = dict(pascal_voc.VOC_CLASS_LABELS)
-    desc = ["C[16,3,2]", "BN", "A", "C[16,3,2]", "BN", "A",
-            "DNC[16,100]", "DNS[2,4,0.01,0.1]", "C.B[32,1]", "BN", "A",
-            "DND[0.5,1,1]"]
-    model.build(desc, (3, size, size), border_mode="half",
-                weight_init=["he-forward"])
-    trainer = Trainer(model, solver_mode="nesterov", seed=1)
-    gt = ((12) / size, 16 / size, (12 + 28) / size, (16 + 24) / size)
-    for it in range(120):
-        xs = rng.randint(0, 40, (2, 3, size, size)).astype(numpy.float32) / 255
-        for b in range(2):
-            xs[b, 0, 16:40, 12:40] = 0.78
-            xs[b, 1:, 16:40, 12:40] = 0.16
-        metas = [{"bbox": [gt], "class": [pascal_voc.VOC_CLASS_LABELS["car"]]}
-                 for _ in range(2)]
-        trainer.train_step(xs, metas, 0, it, 0.02, [0.9, 0.999], 0.0)
-
-    mdl = str(tmp_path / "detector.mdl.gz")
-    model_mod.save_to_file(model, mdl)
+    mdl = train_toy_detector(tmp_path, pascal_voc.VOC_CLASS_LABELS, "car")
     return root, mdl
 
 
@@ -112,3 +120,45 @@ def test_predict_detect_voc_cli(tmp_path, monkeypatch):
     comp4 = [f for f in os.listdir(str(tmp_path / "results"))
              if f.startswith("comp4_det_test_")]
     assert len(comp4) >= 1
+
+
+def test_predict_detect_mscoco_cli(tmp_path, monkeypatch):
+    """detect,mscoco mode: COCO reader + results-JSON export with coordinate
+    un-mapping."""
+    import json
+    monkeypatch.chdir(str(tmp_path))
+    root = str(tmp_path / "coco")
+    os.makedirs(os.path.join(root, "annotations"))
+    os.makedirs(os.path.join(root, "val2014"))
+
+    size = 64
+    rng = numpy.random.RandomState(0)
+    images, anns = [], []
+    for i in range(2):
+        px = rng.randint(0, 40, (size, size, 3)).astype(numpy.uint8)
+        px[16:40, 12:40] = (200, 40, 40)
+        Image.fromarray(px).save(os.path.join(root, "val2014", "im%d.jpg" % i))
+        images.append({"file_name": "im%d.jpg" % i, "id": 100 + i})
+        anns.append({"image_id": 100 + i, "category_id": 3,
+                     "bbox": [12, 16, 28, 24]})
+    with open(os.path.join(root, "annotations", "instances_val2014.json"),
+              "w") as f:
+        json.dump({"categories": [{"id": 3, "name": "car"}],
+                   "images": images, "annotations": anns}, f)
+
+    mdl = train_toy_detector(tmp_path, {"car": 0}, "car")
+    predict_app.main([
+        "--model", mdl, "--input", root,
+        "--extension", "mscoco,2014-val,crop=64,scale=64",
+        "--batch-size", "2", "--predict-mode", "detect,mscoco",
+        "--results", str(tmp_path / "coco_results" / "out"),
+        "--params", "prThreshold=0.0001,nmsThreshold=0.5"])
+
+    out_json = str(tmp_path / "coco_results" / "out.json")
+    assert os.path.isfile(out_json)
+    results = json.load(open(out_json))
+    assert isinstance(results, list)
+    if results:
+        r = results[0]
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert r["image_id"] in (100, 101)

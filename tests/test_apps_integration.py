@@ -162,3 +162,37 @@ def test_predict_detect_mscoco_cli(tmp_path, monkeypatch):
         r = results[0]
         assert set(r) == {"image_id", "category_id", "bbox", "score"}
         assert r["image_id"] in (100, 101)
+
+
+def test_predict_multicrop_cli(tmp_path, monkeypatch):
+    """10-crop multicrop evaluation through the ImageNet reader."""
+    monkeypatch.chdir(str(tmp_path))
+    root = str(tmp_path / "imnet" / "val")
+    rng = numpy.random.RandomState(0)
+    for cls, color in [("n01", (200, 30, 30)), ("n02", (30, 30, 200))]:
+        d = os.path.join(root, cls)
+        os.makedirs(d)
+        for i in range(2):
+            px = rng.randint(0, 40, (24, 24, 3)) + numpy.array(color)
+            Image.fromarray(numpy.clip(px, 0, 255).astype(numpy.uint8)).save(
+                os.path.join(d, "%d.JPEG" % i))
+    with open(str(tmp_path / "imnet" / "class_labels.txt"), "w") as f:
+        f.write("0 n01\n1 n02\n")
+
+    # tiny classifier
+    from denet_tpu.core.model import Model
+    numpy.random.seed(2)
+    model = Model()
+    model.batch_size = 10
+    model.class_num = 2
+    model.class_labels = {"n01": 0, "n02": 1}
+    model.build(["C[8,3]", "BN", "A", "R"], (3, 16, 16), border_mode="half",
+                weight_init=["he-forward"])
+    mdl = str(tmp_path / "cls.mdl.gz")
+    model_mod.save_to_file(model, mdl)
+
+    predict_app.main([
+        "--model", mdl, "--input", root,
+        "--extension", "imagenet,crop=16,scale=20,multicrop",
+        "--batch-size", "10", "--predict-mode", "multicrop",
+        "--results", str(tmp_path / "mc")])

@@ -281,7 +281,8 @@ class Model:
         return call
 
     def build_full_detect_fn(self, detect_layer, pr_threshold, nms_threshold,
-                             corner_k=256, top_m=128, top_n=100):
+                             corner_k=256, top_m=128, top_n=100,
+                             use_soft_nms=False):
         """ONE jitted function for the whole detection inference step:
         trunk + corner head -> device corner search -> sparse RoI gather +
         detect head -> device per-class NMS -> top-N detections.
@@ -329,7 +330,7 @@ class Model:
         return _keepalive(jax.jit(run))
 
     def build_detect_nms_fn(self, detect_layer, pr_threshold, nms_threshold,
-                            top_m=128, top_n=100):
+                            top_m=128, top_n=100, use_soft_nms=False):
         """Jitted detect phase + device NMS, fed the stashed sample feature
         map + (host-clustered) sample bboxes.  Used by the corner-clustering
         (v2) inference path where the candidate selection round-trips the
@@ -352,7 +353,7 @@ class Model:
             return nms_device.nms(outs["det_pr"], outs["fitness"], final_bbox,
                                   count, pr_threshold=pr_threshold,
                                   nms_threshold=nms_threshold, top_m=top_m,
-                                  top_n=top_n)
+                                  top_n=top_n, use_soft_nms=use_soft_nms)
 
         return _keepalive(jax.jit(run))
 

@@ -377,18 +377,17 @@ class DeNetDetectLayer(Layer):
         logging.verbose("Using detection params - pr threshold: %f, "
                         "nms threshold: %f" % (pr_threshold, nms_threshold))
 
-        # fully-on-device fast path; corner-clustering (v2) models round-trip
-        # the host only for the greedy clustering; soft-NMS stays host-only
-        use_device = (params.get("useDevicePipeline", 1) == 1 and
-                      not use_soft_nms)
+        # fully-on-device fast path (incl. device soft-NMS); corner-clustering
+        # (v2) models round-trip the host only for the greedy clustering
+        use_device = params.get("useDevicePipeline", 1) == 1
         if use_device and self.sparse_layer.nms_threshold >= 1.0:
             return self._get_detections_device(model, data_x, data_m,
                                                pr_threshold, nms_threshold,
-                                               params)
+                                               params, use_soft_nms)
         if use_device:
             return self._get_detections_clustered(model, data_x, data_m,
                                                   pr_threshold, nms_threshold,
-                                                  params)
+                                                  params, use_soft_nms)
 
         first_detect = self._detect_fn is None
         if first_detect:
@@ -434,7 +433,7 @@ class DeNetDetectLayer(Layer):
         return results
 
     def _get_detections_device(self, model, data_x, data_m, pr_threshold,
-                               nms_threshold, params):
+                               nms_threshold, params, use_soft_nms=False):
         """Single-jit detection path; only the final (B, top_n, 6) detection
         list crosses the host boundary."""
         import jax.numpy as jnp
@@ -443,13 +442,13 @@ class DeNetDetectLayer(Layer):
 
         model.ensure_on_device()
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
-               params.get("topM", 128), params.get("topN", 100))
+               params.get("topM", 128), params.get("topN", 100), use_soft_nms)
         first_detect = key not in self._full_fn
         if first_detect:
             logging.info("Building fused device detection function")
             self._full_fn[key] = model.build_full_detect_fn(
                 self, pr_threshold, nms_threshold, corner_k=key[2],
-                top_m=key[3], top_n=key[4])
+                top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
 
         timer = common.Timer()
         dets, _det_count = self._full_fn[key](model.params, model.state,
@@ -469,7 +468,7 @@ class DeNetDetectLayer(Layer):
                 for i, detlist in enumerate(detlists)]
 
     def _get_detections_clustered(self, model, data_x, data_m, pr_threshold,
-                                  nms_threshold, params):
+                                  nms_threshold, params, use_soft_nms=False):
         """v2 path: device corner search -> host greedy clustering -> fused
         device detect+NMS.  Host transfers: candidate arrays down, clustered
         bboxes up, final detections down."""
@@ -479,12 +478,13 @@ class DeNetDetectLayer(Layer):
 
         model.ensure_on_device()
         key = ("clustered", pr_threshold, nms_threshold,
-               params.get("topM", 128), params.get("topN", 100))
+               params.get("topM", 128), params.get("topN", 100), use_soft_nms)
         first_detect = key not in self._full_fn
         if first_detect:
             logging.info("Building clustered detection functions")
             self._full_fn[key] = model.build_detect_nms_fn(
-                self, pr_threshold, nms_threshold, top_m=key[3], top_n=key[4])
+                self, pr_threshold, nms_threshold, top_m=key[3], top_n=key[4],
+                use_soft_nms=use_soft_nms)
         fn = self._full_fn[key]
 
         timer = common.Timer()
@@ -534,7 +534,6 @@ class DeNetDetectLayer(Layer):
         nms_threshold = params.get("nmsThreshold", 0.5)
         use_soft_nms = params.get("useSoftNMS", 0) == 1
         use_device = (params.get("useDevicePipeline", 1) == 1 and
-                      not use_soft_nms and
                       self.sparse_layer.nms_threshold >= 1.0)
         if not use_device:
             results = []
@@ -544,12 +543,12 @@ class DeNetDetectLayer(Layer):
 
         model.ensure_on_device()
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
-               params.get("topM", 128), params.get("topN", 100))
+               params.get("topM", 128), params.get("topN", 100), use_soft_nms)
         if key not in self._full_fn:
             logging.info("Building fused device detection function")
             self._full_fn[key] = model.build_full_detect_fn(
                 self, pr_threshold, nms_threshold, corner_k=key[2],
-                top_m=key[3], top_n=key[4])
+                top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
         fn = self._full_fn[key]
 
         if stage_batches > 1:

@@ -35,12 +35,17 @@ def _pairwise_iou(bbox):
 
 
 @partial(jax.jit, static_argnames=("pr_threshold", "nms_threshold", "top_m",
-                                   "top_n"))
+                                   "top_n", "use_soft_nms"))
 def nms(det_pr, fitness, bbox, count, pr_threshold=0.01, nms_threshold=0.5,
-        top_m=128, top_n=100):
+        top_m=128, top_n=100, use_soft_nms=False):
     """det_pr/fitness: (B, C+1, sn, sn) log-probs; bbox: (B, sn, sn, 4);
     count: (B,) valid sample counts.  Returns (dets (B, top_n, 6) rows of
-    [score_log, class, x0, y0, x1, y1] sorted by score, det_count (B,))."""
+    [score_log, class, x0, y0, x1, y1] sorted by score, det_count (B,)).
+
+    ``use_soft_nms`` runs the gaussian log-space Soft-NMS (arXiv:1704.04503,
+    reference denet_detect.cc:35-71): a scan repeatedly takes the remaining
+    argmax, freezes its score and decays overlapping candidates by
+    iou^2 / nms_threshold, discarding below the -6.9 log threshold."""
     b, c_p1, sn, _ = det_pr.shape
     c = c_p1 - 1
     s = sn * sn
@@ -61,7 +66,37 @@ def nms(det_pr, fitness, bbox, count, pr_threshold=0.01, nms_threshold=0.5,
     top_scores, top_idx = jax.lax.top_k(scores, m)               # (b, c, m)
     top_valid = top_scores > neg_inf
 
-    if do_nms:
+    if do_nms and use_soft_nms:
+        cand_bbox = jnp.take_along_axis(
+            boxes[:, None], top_idx[..., None], axis=2)          # (b, c, m, 4)
+        iou = _pairwise_iou(cand_bbox)                           # (b, c, m, m)
+        discard = -6.9
+
+        def soft_step(carry, _):
+            scores, frozen = carry
+            live = jnp.where(frozen, neg_inf, scores)
+            pick = jnp.argmax(live, axis=-1)                     # (b, c)
+            pick_score = jnp.take_along_axis(live, pick[..., None],
+                                             axis=-1)[..., 0]
+            valid_pick = pick_score > neg_inf
+            row = jnp.take_along_axis(iou, pick[..., None, None],
+                                      axis=2)[..., 0, :]         # (b, c, m)
+            decay = row * row / nms_threshold
+            is_pick = (jnp.arange(m)[None, None, :] ==
+                       pick[..., None]) & valid_pick[..., None]
+            new_scores = jnp.where(frozen | is_pick, scores,
+                                   scores - decay * valid_pick[..., None])
+            new_scores = jnp.where((new_scores < discard) & ~frozen & ~is_pick,
+                                   neg_inf, new_scores)
+            return (new_scores, frozen | is_pick), None
+
+        frozen0 = ~top_valid
+        scores0 = jnp.where(top_valid, top_scores, neg_inf)
+        (soft_scores, frozen), _ = jax.lax.scan(
+            soft_step, (scores0, frozen0), None, length=m)
+        keep = frozen & top_valid
+        final_scores = jnp.where(keep, soft_scores, neg_inf)     # (b, c, m)
+    elif do_nms:
         # gather candidate boxes per (image, class) and compute the M x M
         # IoU grids directly — avoids ever materializing an S x S matrix
         cand_bbox = jnp.take_along_axis(
@@ -77,10 +112,10 @@ def nms(det_pr, fitness, bbox, count, pr_threshold=0.01, nms_threshold=0.5,
         suppressed0 = jnp.zeros((b, c, m), dtype=bool)
         _, keeps = jax.lax.scan(step, suppressed0, jnp.arange(m))
         keep = jnp.moveaxis(keeps, 0, -1)                        # (b, c, m)
+        final_scores = jnp.where(keep, top_scores, neg_inf)      # (b, c, m)
     else:
         keep = top_valid
-
-    final_scores = jnp.where(keep, top_scores, neg_inf)          # (b, c, m)
+        final_scores = jnp.where(keep, top_scores, neg_inf)      # (b, c, m)
 
     # global top-N per image across classes
     flat_scores = final_scores.reshape(b, c * m)

@@ -159,3 +159,20 @@ def test_batched_detection_with_staging():
         for da, db in zip(a["detections"], b["detections"]):
             assert abs(da[0] - db[0]) < 1e-5
             assert da[1] == db[1]
+
+
+def test_device_soft_nms_matches_native():
+    rng = numpy.random.RandomState(5)
+    det_pr, fitness, bbox, count = make_nms_inputs(rng)
+
+    dets, det_count = nms_device.nms(
+        jnp.asarray(det_pr), jnp.asarray(fitness), jnp.asarray(bbox),
+        jnp.asarray(count), pr_threshold=0.05, nms_threshold=0.5,
+        use_soft_nms=True)
+    dev_lists = nms_device.dets_to_lists(dets, numpy.asarray(det_count))
+    host_lists = native.build_detections_nms(0.05, 0.5, 1, det_pr, fitness,
+                                             bbox, count)
+    for b in range(det_pr.shape[0]):
+        dev = sorted((round(p, 4), c) for p, c, _ in dev_lists[b])
+        host = sorted((round(p, 4), c) for p, c, _ in host_lists[b])
+        assert dev == host

@@ -151,3 +151,27 @@ def test_train_multi_restart_args(tmp_path, monkeypatch):
     restored = train_multi.load_restart_args("train.args", args)
     assert restored.epoch_start == 3
     assert restored.subset_start == 0
+
+
+def test_modify_image_size_and_class_num(tmp_path):
+    numpy.random.seed(1)
+    model = model_mod.Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {"a": 0, "b": 1, "c": 2}
+    model.build(["C[4,3]", "BN", "A"], (3, 8, 8), border_mode="half",
+                weight_init=["he-forward"])
+    fname = str(tmp_path / "m.mdl.gz")
+    model_mod.save_to_file(model, fname)
+
+    out = str(tmp_path / "resized.mdl.gz")
+    modify_app.main(["--input", fname, "--output", out,
+                     "--image-size", "16", "16", "--class-num", "5"])
+    m = model_mod.load_from_file(out, batch_size=2)
+    assert tuple(m.data_shape) == (3, 16, 16)
+    assert m.class_num == 5
+    # shapes re-derive: forward at the new resolution works
+    x = numpy.random.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+    from denet_tpu.layers.base import Ctx
+    outputs, _ = m.forward(m.params, m.state, x, Ctx(train=False))
+    assert outputs[len(m.layers) - 1].shape == (2, 4, 16, 16)

@@ -175,3 +175,32 @@ def test_modify_image_size_and_class_num(tmp_path):
     from denet_tpu.layers.base import Ctx
     outputs, _ = m.forward(m.params, m.state, x, Ctx(train=False))
     assert outputs[len(m.layers) - 1].shape == (2, 4, 16, 16)
+
+
+def test_convert_bn_relu_preserves_outputs(tmp_path):
+    """BNA fusion is a pure graph rewrite: outputs must be identical."""
+    from denet_tpu.layers.base import Ctx
+    numpy.random.seed(4)
+    model = model_mod.Model()
+    model.batch_size = 2
+    model.class_num = 2
+    model.class_labels = {"a": 0, "b": 1}
+    model.build(["C[4,3]", "BN", "A", "nRSN.O[1,8,3,2]", "R"], (3, 8, 8),
+                border_mode="half", weight_init=["he-forward"])
+    # non-trivial BN stats
+    model.state[2]["mean"] = numpy.random.uniform(-1, 1, 4).astype(numpy.float32)
+    model.state[2]["stdinv"] = numpy.random.uniform(0.5, 2, 4).astype(numpy.float32)
+    fname = str(tmp_path / "m.mdl.gz")
+    model_mod.save_to_file(model, fname)
+
+    out = str(tmp_path / "fused.mdl.gz")
+    modify_app.main(["--input", fname, "--output", out, "--convert-bn-relu"])
+    fused = model_mod.load_from_file(out, batch_size=2)
+    assert "bnrelu" in [l for l in fused.layers
+                        if l.type_name == "resnet"][0].version
+
+    x = numpy.random.uniform(0, 1, (2, 3, 8, 8)).astype(numpy.float32)
+    y0, _ = model.forward(model.params, model.state, x, Ctx(train=False))
+    y1, _ = fused.forward(fused.params, fused.state, x, Ctx(train=False))
+    assert numpy.allclose(numpy.asarray(y0[len(model.layers) - 1]),
+                          numpy.asarray(y1[len(fused.layers) - 1]), atol=1e-5)

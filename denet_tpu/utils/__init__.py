@@ -136,6 +136,17 @@ def ndarray_unpack(v, shapes):
     return out
 
 
+def print_flush(*args, **kwargs):
+    print(*args, **kwargs)
+    import sys as _sys
+    _sys.stdout.flush()
+
+
+def get_flat_index(stride, *args):
+    """Flat index from per-axis strides (reference common/__init__.py:121-122)."""
+    return sum(x * s for x, s in zip(args, stride))
+
+
 def convert_num(s):
     try:
         return int(s)

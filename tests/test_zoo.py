@@ -84,3 +84,19 @@ def test_denet34_skip_full_train_and_infer():
     results = model.layers[-1].get_detections(
         model, x, metas, {"prThreshold": 0.0001, "nmsThreshold": 0.5})
     assert len(results) == 2
+
+
+def test_denet101_wide_x768_construction():
+    """The 768x768 / 1296-RoI configuration from the baseline table
+    (BASELINE.md: DeNet101 wide x768 v2) must build with consistent shapes."""
+    desc = zoo.denet101("wide", v2=True)
+    # x768 evaluation uses 1296 RoIs = 36^2 (README.md:133-135): bump DNS
+    desc = [t.replace("DNS[10,48,", "DNS[10,36,") for t in desc]
+    model = build(desc, (3, 768, 768), class_num=80, batch_size=1)
+    sparse = [l for l in model.layers if l.type_name == "denet-sparse"][0]
+    assert sparse.sample_num == 36
+    assert sparse.sample_count == 1296
+    detect = model.layers[-1]
+    assert detect.use_jointfit and detect.use_bounded_iou
+    # ~45M+ params (ResNet-101 trunk + wide head)
+    assert model.get_parameter_num() > 40e6

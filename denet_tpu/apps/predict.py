@@ -188,10 +188,19 @@ def test_detector(mode, model, data, output_fname, params):
 
 
 def test_segment(mode, model, data):
+    """Per-pixel segmentation eval: confusion counts per class, predicted /
+    ground-truth label-map PNG overlays, per-class accuracy / TPR / FPR and
+    overall accuracy (reference predict.py:238-289)."""
+    from denet_tpu.utils import image_util
+
     cls_tp = [0] * model.class_num
     cls_tn = [0] * model.class_num
     cls_fp = [0] * model.class_num
     cls_fn = [0] * model.class_num
+    colors = [(255, 255, 255, 0), (255, 0, 0, 60), (0, 0, 255, 60)]
+    if model.class_num > len(colors):
+        colors += [tuple(int(255 * v) for v in rgb) + (60,) for rgb in
+                   image_util.get_unique_colors(model.class_num - len(colors))]
     for subset in range(data.subset_num):
         data.load_from_subset(subset)
         pr = model.predict_output(data)
@@ -209,9 +218,28 @@ def test_segment(mode, model, data):
                 cls_tn[cls] += numpy.count_nonzero(
                     (label_true != cls) & (label_predict != cls))
 
-    overall_correct = sum(cls_tp) + sum(cls_tn)
-    overall_total = sum(cls_tp) + sum(cls_fp) + sum(cls_fn) + sum(cls_tn)
-    logging.info("Overall Accuracy: %.2f%%" % (
+            fname = data.data[b][0]
+            hyperspec = numpy.asarray(data.data[b][1], dtype=numpy.float32)
+            background = hyperspec.mean(axis=0) if hyperspec.ndim == 3 else None
+            image_util.export_label(fname + "_predict.png", label_predict,
+                                    colors, background=background)
+            image_util.export_label(fname + "_true.png", label_true,
+                                    colors, background=background)
+
+    class_labels_inv = {v: k for k, v in model.class_labels.items()}
+    overall_correct = 0
+    overall_total = 0
+    for cls in range(model.class_num):
+        correct = cls_tp[cls] + cls_tn[cls]
+        total = cls_tp[cls] + cls_fp[cls] + cls_fn[cls] + cls_tn[cls]
+        overall_correct += correct
+        overall_total += total
+        tpr = 100 * cls_tp[cls] / max(1, cls_tp[cls] + cls_fn[cls])
+        fpr = 100 * cls_fp[cls] / max(1, cls_fp[cls] + cls_tn[cls])
+        print("Accuracy (%s): %.2f%%, TPR: %.2f%%, FPR: %.2f%% " % (
+            class_labels_inv.get(cls, str(cls)),
+            100 * correct / max(1, total), tpr, fpr))
+    print("Overall Accuracy: %.2f%%" % (
         100 * overall_correct / max(1, overall_total)))
 
 

@@ -57,7 +57,13 @@ class DatasetFromDir(DatasetAbstract):
 
 
 class DatasetFromArray(DatasetAbstract):
-    """Loads ``_data.npy`` (N,C,H,W) + ``_labels.npy`` pairs."""
+    """Loads ``_data.npy`` (N,C,H,W) + ``_labels.npy`` pairs
+    (reference basic.py:57-78).
+
+    ``_labels.npy`` may be per-image class ids (N,) or per-pixel label maps
+    (N,H,W) — the latter populates the ``label`` meta consumed by the
+    ``segment`` predict mode (reference predict.py:238-289), making the
+    segmentation path drivable from the stock loaders."""
 
     def load(self, src_prefix, ext, is_training, thread_num, class_labels=None):
         data = numpy.load(os.path.join(src_prefix, "_data.npy"))
@@ -72,8 +78,13 @@ class DatasetFromArray(DatasetAbstract):
 
         self.data = []
         for i in range(data.shape[0]):
-            cls = self.class_labels[str(int(labels[i]))]
+            if labels.ndim == 1:
+                meta = {"image_class": self.class_labels[str(int(labels[i]))],
+                        "partial": False}
+            else:  # per-pixel segmentation label maps
+                meta = {"label": numpy.asarray(labels[i], dtype=numpy.int64),
+                        "partial": False}
             self.data.append(("array_%i" % i,
                               numpy.asarray(data[i], dtype=numpy.float32),
-                              {"image_class": cls, "partial": False}))
+                              meta))
         self.subset_total_size = self.subset_size = len(self.data)

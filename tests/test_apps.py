@@ -204,3 +204,38 @@ def test_convert_bn_relu_preserves_outputs(tmp_path):
     y1, _ = fused.forward(fused.params, fused.state, x, Ctx(train=False))
     assert numpy.allclose(numpy.asarray(y0[len(model.layers) - 1]),
                           numpy.asarray(y1[len(fused.layers) - 1]), atol=1e-5)
+
+
+def test_predict_segment_mode(tmp_path, capsys):
+    """segment predict mode: per-pixel confusion stats, per-class TPR/FPR
+    report, and predicted/true label-map PNG exports (reference
+    predict.py:238-289)."""
+    import os
+    from denet_tpu.apps.predict import test_segment
+    from denet_tpu.data import DatasetAbstract
+
+    numpy.random.seed(4)
+    model = model_mod.Model()
+    model.batch_size = 2
+    model.class_num = 2
+    model.class_labels = {"bg": 0, "fg": 1}
+    model.build(["C[2,1]"], (3, 8, 8), border_mode="half",
+                weight_init=["he-forward"])
+
+    data = DatasetAbstract()
+    rng = numpy.random.RandomState(0)
+    samples = []
+    for i in range(2):
+        x = rng.uniform(0, 1, (3, 8, 8)).astype(numpy.float32)
+        label = (x[0] > 0.5).astype(numpy.int64)
+        samples.append((str(tmp_path / ("seg%d" % i)), x,
+                        {"label": label, "partial": False}))
+    data.set_data(samples)
+
+    test_segment("segment", model, data)
+    out = capsys.readouterr().out
+    assert "Overall Accuracy:" in out
+    assert "TPR:" in out and "FPR:" in out
+    for i in range(2):
+        assert os.path.isfile(str(tmp_path / ("seg%d_predict.png" % i)))
+        assert os.path.isfile(str(tmp_path / ("seg%d_true.png" % i)))

@@ -104,15 +104,17 @@ class ConvLayer(Layer):
         if ctx.compute_dtype is not None:
             x = x.astype(ctx.compute_dtype)
             w = w.astype(ctx.compute_dtype)
-        # Theano true-convolution == XLA correlation with flipped kernel
+        # Theano true-convolution == XLA correlation with flipped kernel.
+        # Output dtype follows the operands (MXU accumulates f32 internally
+        # for bf16 inputs): keeping activations in compute_dtype is what lets
+        # the conv transpose in the backward pass see matching dtypes.
         w = jnp.flip(w, axis=(2, 3))
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=self.stride,
             padding=conv_padding(self.filter_shape, self.border_mode),
-            dimension_numbers=_DIMNUMS,
-            preferred_element_type=jnp.float32)
+            dimension_numbers=_DIMNUMS)
         if self.use_bias:
-            y = y + params["bias"][None, :, None, None]
+            y = y + params["bias"][None, :, None, None].astype(y.dtype)
         return y, {}
 
     @staticmethod

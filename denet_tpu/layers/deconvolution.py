@@ -52,6 +52,9 @@ class DeconvLayer(Layer):
         # Extra (s-1) high-side padding reproduces the reference's declared
         # output size  h*s - 2*(k//2) + k - 1.
         w = params["weight"]
+        if ctx.compute_dtype is not None:
+            x = x.astype(ctx.compute_dtype)
+            w = w.astype(ctx.compute_dtype)
         kh, kw = self.filter_shape[2], self.filter_shape[3]
         sh, sw = self.stride
         pad_h = (kh - 1 - kh // 2, kh - 1 - kh // 2 + sh - 1)
@@ -59,10 +62,9 @@ class DeconvLayer(Layer):
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1), padding=(pad_h, pad_w),
             lhs_dilation=(sh, sw),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
         if self.use_bias:
-            y = y + params["bias"][None, :, None, None]
+            y = y + params["bias"][None, :, None, None].astype(y.dtype)
         return y, {}
 
     @staticmethod

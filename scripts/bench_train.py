@@ -1,0 +1,107 @@
+"""Training throughput: DeNet34-skip @512, batch 8, full train step.
+
+Measures steady-state images/sec of the complete training loop — host
+target generation (corner heatmaps, device-search sample selection, IoU
+detect matching), forward+backward+solver update as one jit, bfloat16
+trunk compute — with pipelined target preparation (one-step-stale sample
+selection, reference denet_sparse.py:164-206 semantics).
+
+Two numbers are reported to stdout (one JSON line each):
+  * device_step: img/s of the jitted step alone (block per step, no host
+    target work in the window) — the chip-bound rate.
+  * train_loop: img/s of the pipelined loop including host target prep —
+    the deployable end-to-end rate on this harness.
+
+The reference publishes no training-rate baseline (BASELINE.md), so
+vs_baseline is reported against its own device_step (ratio of loop
+efficiency) for the loop line and 1.0 for the device line.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    import denet_tpu.utils.logging as logging
+    from __graft_entry__ import _build_detect_model
+    from denet_tpu.train.trainer import Trainer
+
+    logging.init(level="warning")
+
+    batch, size = args.batch, args.size
+    model = _build_detect_model(batch, size, class_num=80, variant="skip")
+    model.compute_dtype = jnp.bfloat16
+    trainer = Trainer(model, solver_mode="nesterov", seed=1,
+                      pipeline_targets=True)
+
+    rng = numpy.random.RandomState(3)
+
+    def make_batch(it):
+        x = rng.uniform(0, 1, (batch, 3, size, size)).astype(numpy.float32)
+        metas = []
+        for _ in range(batch):
+            n = rng.randint(1, 8)
+            x0 = rng.uniform(0, 0.7, n)
+            y0 = rng.uniform(0, 0.7, n)
+            w = rng.uniform(0.05, 0.3, n)
+            h = rng.uniform(0.05, 0.3, n)
+            metas.append({"bbox": list(zip(x0, y0, x0 + w, y0 + h)),
+                          "class": rng.randint(0, 80, n).tolist()})
+        return x, metas
+
+    # warmup: compile step + corner/sample fns, settle BN stats
+    x, metas = make_batch(0)
+    for it in range(2):
+        trainer.train_step(x, metas, 0, it, 0.01, [0.9, 0.999], 1e-4)
+
+    # --- device step rate: pre-prepared targets, block per step ------------
+    prepared = trainer.prepare_targets(x, metas)
+    iters = args.iters
+    t0 = time.time()
+    for it in range(iters):
+        total, costs = trainer.train_step(
+            x, metas, 0, 2 + it, 0.01, [0.9, 0.999], 1e-4,
+            prepared=prepared, block=False)
+    jax.block_until_ready(total)
+    dt = time.time() - t0
+    dev_hz = batch * iters / dt
+    print(json.dumps({"metric": "denet34_skip_train_device_step",
+                      "value": round(dev_hz, 2), "unit": "images/sec",
+                      "vs_baseline": 1.0}), flush=True)
+
+    # --- pipelined loop: host target prep overlapped with device step ------
+    iters = args.iters
+    batches = [make_batch(i) for i in range(iters)]
+    t0 = time.time()
+    pending = None
+    prep = trainer.prepare_targets(*batches[0])
+    for i in range(iters):
+        fut = trainer.train_step(batches[i][0], batches[i][1], 0, 22 + i,
+                                 0.01, [0.9, 0.999], 1e-4,
+                                 prepared=prep, block=False)
+        if i + 1 < iters:
+            prep = trainer.prepare_targets(*batches[i + 1])
+        if pending is not None:
+            jax.block_until_ready(pending[0])
+        pending = fut
+    jax.block_until_ready(pending[0])
+    dt = time.time() - t0
+    loop_hz = batch * iters / dt
+    print(json.dumps({"metric": "denet34_skip_train_loop",
+                      "value": round(loop_hz, 2), "unit": "images/sec",
+                      "vs_baseline": round(loop_hz / dev_hz, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

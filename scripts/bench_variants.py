@@ -1,0 +1,122 @@
+"""Device-side detection rates for every baseline table row (BASELINE.md).
+
+Measures the steady-state rate of the fused on-device detection pipeline
+(trunk + corner head + corner search + sparse gather + detect head + NMS,
+one jit) for each published model variant, batch 8, bfloat16 trunk compute.
+The timed loop never reads device->host (block_until_ready only), so this
+is the per-chip rate a deployment with on-device consumers (or a sane
+PCIe/ICI link) sustains — the axon tunnel RTT/bandwidth is a harness
+artifact measured separately in PERF.md.
+
+Heads are perturbed to a trained-like operating point (calibrated ~64
+corners/type/image, null-dominant classifier) exactly as in bench.py.
+
+Appends one JSON line per variant to the --out file as it completes, so a
+partial run still yields data (remote compiles take minutes per variant).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy
+
+
+VARIANTS = [
+    # (tag, family, variant, v2, size, sample_num_override, baseline_hz)
+    ("denet34_skip_v1", 34, "skip", False, 512, None, 82.0),
+    ("denet34_wide_v1", 34, "wide", False, 512, None, 44.0),
+    ("denet101_skip_v1", 101, "skip", False, 512, None, 33.0),
+    ("denet101_wide_v1", 101, "wide", False, 512, None, 17.0),
+    ("denet34_wide_v2", 34, "wide", True, 512, None, 80.0),
+    ("denet101_wide_v2", 101, "wide", True, 512, None, 21.0),
+    ("denet101_wide_x768_v2", 101, "wide", True, 768, 36, 11.0),
+]
+
+
+def build_model(family, variant, v2, size, sn_override, batch):
+    from denet_tpu.core.model import Model
+    from denet_tpu.models import zoo
+
+    numpy.random.seed(1)
+    desc = (zoo.denet34 if family == 34 else zoo.denet101)(variant, v2=v2)
+    if sn_override is not None:
+        desc = [("DNS[10,%d" % sn_override) + t[len("DNS[10,48"):]
+                if t.startswith("DNS[") else t for t in desc]
+    model = Model()
+    model.batch_size = batch
+    model.class_num = 80
+    model.class_labels = {str(i): i for i in range(80)}
+    model.build(desc, (3, size, size), activation="relu",
+                border_mode="half", weight_init=["he-forward"])
+    return model
+
+
+def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
+                batch=8, min_seconds=8.0):
+    import jax
+    import jax.numpy as jnp
+    from bench import perturb_heads_host, calibrate_corner_bias_device
+
+    model = build_model(family, variant, v2, size, sn_override, batch)
+    model.compute_dtype = jnp.bfloat16
+    detect_layer = model.layers[-1]
+    perturb_heads_host(model)
+    model.ensure_on_device()
+
+    rng = numpy.random.RandomState(3)
+    x = jnp.asarray(rng.randint(0, 256, (batch, 3, size, size))
+                    .astype(numpy.uint8))
+    calibrate_corner_bias_device(model, x)
+
+    fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
+                                    corner_k=256, top_m=128, top_n=100)
+    t_c0 = time.time()
+    r = fn(model.params, model.state, x)
+    jax.block_until_ready(r)
+    compile_s = time.time() - t_c0
+    for _ in range(2):
+        jax.block_until_ready(fn(model.params, model.state, x))
+
+    # adaptive timed window: scale iters to >= min_seconds
+    t0 = time.time()
+    jax.block_until_ready(fn(model.params, model.state, x))
+    step = max(time.time() - t0, 1e-4)
+    iters = max(8, int(min_seconds / step))
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(model.params, model.state, x)
+    jax.block_until_ready(r)
+    dt = time.time() - t0
+    hz = batch * iters / dt
+    return {"metric": tag, "value": round(hz, 2), "unit": "images/sec",
+            "vs_baseline": round(hz / baseline_hz, 3),
+            "compile_s": round(compile_s, 1), "iters": iters}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/variant_rates.jsonl")
+    p.add_argument("--only", default=None,
+                   help="comma-separated variant tags to run")
+    args = p.parse_args(argv)
+
+    import denet_tpu.utils.logging as logging
+    logging.init(level="warning")
+
+    only = set(args.only.split(",")) if args.only else None
+    for row in VARIANTS:
+        if only and row[0] not in only:
+            continue
+        try:
+            res = run_variant(*row)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            res = {"metric": row[0], "error": repr(e)[:300]}
+        line = json.dumps(res)
+        print(line, flush=True)
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

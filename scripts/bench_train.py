@@ -60,7 +60,9 @@ def main(argv=None):
                           "class": rng.randint(0, 80, n).tolist()})
         return x, metas
 
-    # warmup: compile step + corner/sample fns, settle BN stats
+    # warmup: compile step + corner/sample fns, settle BN stats; the
+    # float() cost reads also pay the one-time axon d2h link transition
+    # (block_until_ready does NOT force remote execution — only reads do)
     x, metas = make_batch(0)
     for it in range(2):
         trainer.train_step(x, metas, 0, it, 0.01, [0.9, 0.999], 1e-4)
@@ -73,7 +75,7 @@ def main(argv=None):
         total, costs = trainer.train_step(
             x, metas, 0, 2 + it, 0.01, [0.9, 0.999], 1e-4,
             prepared=prepared, block=False)
-    jax.block_until_ready(total)
+    float(total)   # scalar read: drains the device exec queue
     dt = time.time() - t0
     dev_hz = batch * iters / dt
     print(json.dumps({"metric": "denet34_skip_train_device_step",
@@ -93,9 +95,9 @@ def main(argv=None):
         if i + 1 < iters:
             prep = trainer.prepare_targets(*batches[i + 1])
         if pending is not None:
-            jax.block_until_ready(pending[0])
+            float(pending[0])   # scalar read: bounds queue depth to 1
         pending = fut
-    jax.block_until_ready(pending[0])
+    float(pending[0])
     dt = time.time() - t0
     loop_hz = batch * iters / dt
     print(json.dumps({"metric": "denet34_skip_train_loop",

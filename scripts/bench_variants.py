@@ -75,19 +75,23 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
     r = fn(model.params, model.state, x)
     jax.block_until_ready(r)
     compile_s = time.time() - t_c0
-    for _ in range(2):
-        jax.block_until_ready(fn(model.params, model.state, x))
+    # under the axon relay block_until_ready does NOT force remote
+    # execution — only a device->host read does.  Pay the one-time d2h
+    # link transition here, outside every timed window.
+    numpy.asarray(r[1])
 
-    # adaptive timed window: scale iters to >= min_seconds
-    t0 = time.time()
-    jax.block_until_ready(fn(model.params, model.state, x))
-    step = max(time.time() - t0, 1e-4)
-    iters = max(8, int(min_seconds / step))
-    t0 = time.time()
-    for _ in range(iters):
-        r = fn(model.params, model.state, x)
-    jax.block_until_ready(r)
-    dt = time.time() - t0
+    def timed(iters):
+        t0 = time.time()
+        for _ in range(iters):
+            r = fn(model.params, model.state, x)
+        numpy.asarray(r[1][0])   # scalar-ish read: drains the exec queue
+        return time.time() - t0
+
+    timed(2)                      # settle
+    step = max(timed(4) / 4, 1e-4)
+    # cap queue depth: deep async queues behave pathologically on the relay
+    iters = max(8, min(int(min_seconds / step), 512))
+    dt = timed(iters)
     hz = batch * iters / dt
     return {"metric": tag, "value": round(hz, 2), "unit": "images/sec",
             "vs_baseline": round(hz / baseline_hz, 3),

@@ -78,6 +78,32 @@ def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256,
                                    (yy * w + xx).reshape(b, -1),
                                    axis=1).reshape(yy.shape)
 
+    # Separable K x K gathers as one-hot MXU matmuls.  The pair-phase index
+    # grids factor as (row corner-type, col corner-type), so
+    # out[b,i,j] = map[y_i, x_j] is two batched matmuls with one-hot row/col
+    # selectors — exact (each output sums exactly one f32 term under HIGHEST
+    # precision) and ~5x faster than an XLA gather with K^2 indices on TPU.
+    hp = jax.lax.Precision.HIGHEST
+    oy = (yk[..., None] == jnp.arange(h, dtype=jnp.int32)
+          ).astype(jnp.float32)                           # (b, cn, k, h)
+    ox = (xk[..., None] == jnp.arange(w, dtype=jnp.int32)
+          ).astype(jnp.float32)                           # (b, cn, k, w)
+    maps2d = flat.reshape(b, cn, h, w)
+    pres2d = present.reshape(b, cn, h, w).astype(jnp.float32)
+
+    def sep(map2d, row_oh, col_oh):
+        """out[b,i,j] = map2d[b, row_i, col_j]."""
+        rows = jnp.einsum("bkh,bhw->bkw", row_oh, map2d, precision=hp)
+        return jnp.einsum("bkw,bjw->bkj", rows, col_oh, precision=hp)
+
+    def sep_map(ci, row_type, col_type, transpose=False):
+        g = sep(maps2d[:, ci], oy[:, row_type], ox[:, col_type])
+        return jnp.swapaxes(g, 1, 2) if transpose else g
+
+    def sep_present(ci, row_type, col_type, transpose=False):
+        g = sep(pres2d[:, ci], oy[:, row_type], ox[:, col_type]) > 0.5
+        return jnp.swapaxes(g, 1, 2) if transpose else g
+
     center_flat = flat[:, 4] if cn == 5 else None
 
     def center_term(x0, y0, x1, y1):
@@ -109,7 +135,7 @@ def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256,
     ok = (valid[:, 0, :, None] & valid[:, 3, None, :] &
           (x1 > x0) & (y1 > y0))
     s = (dk[:, 0, :, None] + dk[:, 3, None, :] +
-         gather_map(1, y0, x1) + gather_map(2, y1, x0) +
+         sep_map(1, 0, 3) + sep_map(2, 3, 0, transpose=True) +
          center_term(x0, y0, x1, y1))
     emit(x0, y0, x1, y1, s, ok)
 
@@ -120,9 +146,9 @@ def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256,
     y1 = yk[:, 2, None, :] * jnp.ones((1, k, 1), jnp.int32)
     ok = (valid[:, 1, :, None] & valid[:, 2, None, :] &
           (x1 > x0) & (y1 > y0))
-    dup = gather_present(0, y0, x0) & gather_present(3, y1, x1)
+    dup = sep_present(0, 1, 2) & sep_present(3, 2, 1, transpose=True)
     s = (dk[:, 1, :, None] + dk[:, 2, None, :] +
-         gather_map(0, y0, x0) + gather_map(3, y1, x1) +
+         sep_map(0, 1, 2) + sep_map(3, 2, 1, transpose=True) +
          center_term(x0, y0, x1, y1))
     emit(x0, y0, x1, y1, s, ok & ~dup)
 

@@ -74,3 +74,31 @@ def test_detection_model_on_mesh():
     trainer = Trainer(model, solver_mode="sgd", seed=9, mesh=mesh)
     cost, costs = trainer.train_step(x, metas, 0, 0, 0.01, [0.9, 0.999], 0.0)
     assert numpy.isfinite(cost)
+
+
+def test_detection_inference_sharded_matches_single_device():
+    """The fused single-jit detection pipeline under data-parallel GSPMD:
+    batch sharded over a 2-device mesh, params replicated — detections must
+    be identical to the single-device run (the serving-side analogue of the
+    training mesh tests)."""
+    import random
+    from tests.test_detection import build_detect_model, synthetic_batch
+    random.seed(4)
+    model = build_detect_model(use_bbox_reg=True)
+    x, _metas = synthetic_batch()
+    detect_layer = model.layers[-1]
+    model.ensure_on_device()
+
+    fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
+                                    corner_k=64, top_m=32, top_n=16)
+    dets_ref, count_ref = fn(model.params, model.state, x)
+
+    mesh = mesh_mod.make_mesh(2)
+    params = mesh_mod.shard_args(mesh, model.params)
+    state = mesh_mod.shard_args(mesh, model.state)
+    xs = mesh_mod.shard_args(mesh, numpy.asarray(x), batch_leaves=True)
+    dets_sh, count_sh = fn(params, state, xs)
+
+    assert numpy.array_equal(numpy.asarray(count_ref), numpy.asarray(count_sh))
+    assert numpy.allclose(numpy.asarray(dets_ref), numpy.asarray(dets_sh),
+                          atol=1e-6)

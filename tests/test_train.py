@@ -197,3 +197,29 @@ def test_pipelined_training_detection_runs():
 
     cost = trainer.train_epoch(DetData(), 0, 0.01, momentum=[0.9, 0.999])
     assert numpy.isfinite(cost)
+
+
+def test_bfloat16_training_detection():
+    """Mixed-precision training: bf16 activations through conv/deconv (MXU
+    path), f32 master weights and cost heads.  The backward pass previously
+    failed with a conv dtype mismatch when convs forced f32 outputs."""
+    import random
+    import jax.numpy as jnp
+    from tests.test_detection import build_detect_model, synthetic_batch
+
+    random.seed(3)
+    model = build_detect_model(use_bbox_reg=True)
+    model.compute_dtype = jnp.bfloat16
+    trainer = Trainer(model, solver_mode="nesterov", seed=2)
+    x, metas = synthetic_batch()
+    costs = []
+    for it in range(4):
+        cost, _ = trainer.train_step(x, metas, 0, it, 0.02, [0.9, 0.999], 0.0)
+        assert numpy.isfinite(cost)
+        costs.append(cost)
+    assert costs[-1] < costs[0]
+    # master weights stay f32 through the bf16 compute path
+    import jax
+    for v in jax.tree_util.tree_leaves(model.params):
+        if hasattr(v, "dtype") and v.dtype.kind == "f":
+            assert str(v.dtype) == "float32", str(v.dtype)

@@ -263,3 +263,38 @@ def test_v2_clustering_model_inference():
     results = model.layers[-1].get_detections(
         model, x, metas, {"prThreshold": 0.0001, "nmsThreshold": 0.5})
     assert len(results) == 2
+
+
+def test_center_corner_model_end_to_end():
+    """DNC.C (5-corner center variant, reference denet_corner.py corner_num=5
+    and denet_sparse.cc center pairing phases :377-468): training step +
+    full detection inference must run with center-reflection candidate
+    phases active in the device search."""
+    numpy.random.seed(8)
+    random.seed(8)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    desc = ["C[8,3]", "BN", "A", "DNC.C[16]", "DNS[2,4,0.01,0.1]",
+            "C[16,1]", "BN", "A", "DND[0.5,1.0,1.0,0.0]"]
+    model.build(desc, (3, 16, 16), border_mode="half",
+                weight_init=["he-forward"])
+    dnc = [l for l in model.layers if l.type_name == "denet-corner"][0]
+    assert dnc.corner_num == 5
+
+    x, metas = synthetic_batch()
+    trainer = Trainer(model, solver_mode="sgd", seed=5)
+    for it in range(2):
+        cost, _ = trainer.train_step(x, metas, 0, it, 0.02, [0.9, 0.999], 0.0)
+        assert numpy.isfinite(cost)
+
+    detect_layer = model.layers[-1]
+    dets = detect_layer.get_detections(model, x, metas,
+                                       {"prThreshold": 0.001,
+                                        "nmsThreshold": 0.5})
+    assert len(dets) == 2
+    for r in dets:
+        assert "detections" in r and "meta" in r
+        for pr, cls, bbox in r["detections"]:
+            assert 0.0 <= pr <= 1.0 and 0 <= cls < 3 and len(bbox) == 4

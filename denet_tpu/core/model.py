@@ -267,9 +267,15 @@ class Model:
                 diff, sparse_layer.corner_threshold, sparse_layer.sample_num,
                 corner_k=corner_k, out_count=out_count,
                 local_max=sparse_layer.local_max)
+            # pack (bbox, pr, count) into ONE array: a single host download
+            # instead of three (each read costs a full link RTT)
+            b = bbox.shape[0]
+            packed = jnp.concatenate(
+                [bbox.reshape(b, -1), pr,
+                 count[:, None].astype(jnp.float32)], axis=1)
             if return_sample:
-                return bbox, pr, count, collect["sample"]
-            return bbox, pr, count
+                return packed, collect["sample"]
+            return (packed,)
 
         fn = _keepalive(jax.jit(run))
         rng_holder = {"key": jax.random.PRNGKey(self.rng_seed + 104729)}

@@ -153,10 +153,13 @@ class DeNetSparseLayer(Layer):
                     out_count=out_count)
             result = self._corner_fn[key](params, state, jnp.asarray(data_x))
             if store_shared:
-                model._detect_sample_feat = result[3]
-            bbox = numpy.asarray(result[0])
-            pr = numpy.asarray(result[1])
-            count = numpy.asarray(result[2])
+                model._detect_sample_feat = result[1]
+            # one packed download: [bbox_flat | pr | count] per image
+            packed = numpy.asarray(result[0])
+            n = out_count if out_count else self.sample_count
+            bbox = packed[:, :n * 4].reshape(packed.shape[0], n, 4)
+            pr = packed[:, n * 4:n * 4 + n]
+            count = packed[:, -1].astype(numpy.int32)
             timer.mark()
             if clustering:
                 bbox, pr, count = native.cluster_samples(

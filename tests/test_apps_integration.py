@@ -111,7 +111,7 @@ def test_predict_detect_voc_cli(tmp_path, monkeypatch):
     predict_app.main([
         "--model", mdl, "--input", root,
         "--extension", "voc,2007-test,crop=64,scale=64",
-        "--batch-size", "2", "--predict-mode", "detect,voc",
+        "--batch-size", "2", "--predict-mode", "detect,voc,image",
         "--results", str(tmp_path / "results" / "out"),
         "--params", "prThreshold=0.0001,nmsThreshold=0.5"])
 
@@ -120,6 +120,9 @@ def test_predict_detect_voc_cli(tmp_path, monkeypatch):
     comp4 = [f for f in os.listdir(str(tmp_path / "results"))
              if f.startswith("comp4_det_test_")]
     assert len(comp4) >= 1
+    # "image" submode renders bbox-annotated PNGs per input
+    pngs = [f for f in os.listdir(str(tmp_path)) if f.endswith("_dets.png")]
+    assert len(pngs) == 4
 
 
 def test_predict_detect_mscoco_cli(tmp_path, monkeypatch):

@@ -205,3 +205,38 @@ def test_resize_and_distort_affine(tmp_path):
     assert len(data) == 2
     x, metas, size = data.export(2)
     assert x.shape == (2, 3, 8, 8)
+
+
+def test_semi_supervised_update():
+    """DatasetAbstract.update(pr): partially-labelled samples take the
+    predicted class ('max' mode) or a momentum-blended soft label
+    (reference dataset/__init__.py:102-139)."""
+    from denet_tpu.data import DatasetAbstract
+
+    def make(partial_mode):
+        d = DatasetAbstract()
+        d.partial_mode = partial_mode
+        d.class_labels = {"a": 0, "b": 1}
+        x = numpy.zeros((3, 4, 4), dtype=numpy.float32)
+        d.data = [("s0", x, {"class": 0, "partial": False}),
+                  ("s1", x, {"class": 0, "partial": True,
+                             "pr": [1.0, 0.0]})]
+        return d
+
+    pr = numpy.array([[0.9, 0.1], [0.2, 0.8]], dtype=numpy.float32)
+
+    d = make("max")
+    d.update(pr)
+    assert d.data[0][2]["class"] == 0          # labelled sample untouched
+    assert d.data[1][2]["class"] == 1          # partial takes argmax
+
+    d = make("momentum,0.5")
+    d.update(pr)
+    m = d.data[1][2]
+    assert numpy.allclose(m["pr"], [0.6, 0.4])  # 0.5*[1,0] + 0.5*[.2,.8]
+    assert m["class"] == 0
+
+    d = make("momentum-hard,0.5")
+    d.update(pr)
+    m = d.data[1][2]
+    assert numpy.allclose(m["pr"], [0.5, 0.5])  # hard one-hot blended

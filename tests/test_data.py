@@ -240,3 +240,27 @@ def test_semi_supervised_update():
     d.update(pr)
     m = d.data[1][2]
     assert numpy.allclose(m["pr"], [0.5, 0.5])  # hard one-hot blended
+
+
+def test_imagenet_localization_error():
+    """Top-5 localization error metric (reference imagenet.py:159-180):
+    correct if any of the 5 highest-scored detections matches a gt class
+    with IoU > 0.5."""
+    from denet_tpu.data.imagenet import get_localization_error
+
+    gt = {"class": [3], "bbox": [(0.1, 0.1, 0.5, 0.5)]}
+    hit = {"meta": gt, "detections": [
+        (0.9, 3, (0.12, 0.1, 0.5, 0.52))]}          # right class, IoU>0.5
+    wrong_cls = {"meta": gt, "detections": [
+        (0.9, 2, (0.1, 0.1, 0.5, 0.5))]}            # perfect box, wrong class
+    low_iou = {"meta": gt, "detections": [
+        (0.9, 3, (0.6, 0.6, 0.9, 0.9))]}            # right class, no overlap
+    beyond5 = {"meta": gt, "detections": [
+        (0.9 - 0.1 * i, 9, (0, 0, 1, 1)) for i in range(5)] + [
+        (0.1, 3, (0.1, 0.1, 0.5, 0.5))]}            # match ranked 6th
+
+    assert get_localization_error([hit]) == 0.0
+    assert get_localization_error([wrong_cls]) == 100.0
+    assert get_localization_error([low_iou]) == 100.0
+    assert get_localization_error([beyond5]) == 100.0
+    assert get_localization_error([hit, wrong_cls]) == 50.0

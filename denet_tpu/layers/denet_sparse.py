@@ -80,8 +80,12 @@ class DeNetSparseLayer(Layer):
         # the XLA gather is the default — see ops/sparse_gather_pallas.py)
         if (os.environ.get("DENET_TPU_PALLAS", "0") == "1" and
                 jax.default_backend() == "tpu"):
-            from denet_tpu.ops.sparse_gather_pallas import sparse_gather_pallas
-            y = sparse_gather_pallas(sample_input, sample_bbox, self.grid_size)
+            from denet_tpu.ops import sparse_gather_pallas as sgp
+            if sgp.supported_shape(sample_bbox):
+                y = sgp.sparse_gather_pallas(sample_input, sample_bbox,
+                                             self.grid_size)
+            else:  # wide heads: the XLA gather is faster (see kernel notes)
+                y = sparse_gather(sample_input, sample_bbox, self.grid_size)
         else:
             y = sparse_gather(sample_input, sample_bbox, self.grid_size)
         return y, {}

@@ -30,7 +30,20 @@ from denet_tpu.ops.sparse_gather import sparse_gather as sparse_gather_xla
 HW_CHUNK = 512   # one-hot slab width: bounds VMEM intermediates
 
 
-def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn2):
+def _chunk_for(sn2, h, w):
+    """Slab width scaled so the (sn2, chunk) one-hot + iota stay within
+    VMEM: ~512 at skip sizes (sn2=576), 128 at wide sizes (sn2=2304)."""
+    budget = 512 * 576            # elements per slab that fit comfortably
+    c = HW_CHUNK
+    while c > 128 and sn2 * c > budget:
+        c //= 2
+    c = min(c, h * w)
+    # the slab loop is rolled: h*w must divide evenly (true for the 2^k
+    # spatial maps convolutional trunks produce; otherwise one full slab)
+    return c if (h * w) % c == 0 else h * w
+
+
+def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn2, chunk):
     """One program per (image, grid offset): builds the (sn2, HW_CHUNK)
     one-hot slabs and accumulates feat_chunk @ onehot^T on the MXU."""
     gs = grid_size
@@ -55,9 +68,13 @@ def _kernel(feat_ref, bbox_ref, out_ref, *, grid_size, h, w, f, sn2):
     yi = jnp.floor(sy + 0.5).astype(jnp.int32)
     flat = yi * w + xi                              # (sn2, 1)
 
-    chunk = min(HW_CHUNK, h * w)
     hw_ids = jax.lax.broadcasted_iota(jnp.int32, (sn2, chunk), 1)
     acc = jnp.zeros((f, sn2), dtype=jnp.float32)
+    # unrolled slab loop: 8 steps at skip-class sizes, which Mosaic
+    # pipelines well.  (A rolled fori_loop variant compiles at any size but
+    # serializes the tiny matmuls — measured 15x SLOWER than the XLA gather
+    # at wide sizes — and unrolling large slab counts spills hundreds of MB
+    # of registers, so big-sn2 shapes route to the XLA gather instead.)
     for c in range(0, h * w, chunk):
         onehot = (hw_ids + c == flat).astype(feat_flat.dtype)   # (sn2, chunk)
         # HIGHEST precision: an f32 gather must not round features through
@@ -82,7 +99,7 @@ def _forward(sample_feat, sample_bbox, grid_size, interpret=False):
     feat_flat_in = sample_feat.reshape(b, f, h * w)
 
     kernel = functools.partial(_kernel, grid_size=grid_size, h=h, w=w, f=f,
-                               sn2=sn2)
+                               sn2=sn2, chunk=_chunk_for(sn2, h, w))
     out = pl.pallas_call(
         kernel,
         grid=(b, gs2),
@@ -104,6 +121,14 @@ def _forward(sample_feat, sample_bbox, grid_size, interpret=False):
     bh = (sample_bbox[..., 3] - sample_bbox[..., 1]).astype(out.dtype)
     bw = (sample_bbox[..., 2] - sample_bbox[..., 0]).astype(out.dtype)
     return jnp.concatenate([out, bh[:, None], bw[:, None]], axis=1)
+
+
+def supported_shape(sample_bbox):
+    """Kernel sweet spot: skip-class sample counts.  Above sn^2=1024 the
+    unrolled slab loop spills registers and the rolled variant serializes —
+    the XLA gather wins there (measured 10.8 vs 157 ms at sn=48)."""
+    _, sn, _, _2 = sample_bbox.shape
+    return sn * sn <= 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

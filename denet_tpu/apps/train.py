@@ -106,6 +106,9 @@ def build_parser():
                         action="store_true",
                         help="Overlap host target generation with the device "
                              "step (one-step-stale sample selection)")
+    parser.add_argument("--no-remat", default=False, action="store_true",
+                        help="Disable split-mode rematerialization (faster "
+                             "when the model fits in HBM without it)")
     parser.add_argument("--compute-dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="Trunk compute dtype (bfloat16 feeds the MXU at "
@@ -117,7 +120,10 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.train is None:
+        parser.error("--train is required")
     logging.init(args)
 
     random.seed(args.seed)
@@ -153,7 +159,8 @@ def main(argv=None):
         model.compute_dtype = jnp.bfloat16
     trainer = Trainer(model, args.solver, args.cost_factors,
                       use_acc_mode=args.use_acc_mode, seed=args.seed,
-                      pipeline_targets=args.pipeline_targets)
+                      pipeline_targets=args.pipeline_targets,
+                      use_remat=(False if args.no_remat else None))
 
     learn_rate = args.learn_rate
     for epoch in range(args.epochs):

@@ -159,6 +159,9 @@ def build_parser():
                         action="store_true",
                         help="Overlap host target generation with the device "
                              "step (one-step-stale sample selection)")
+    parser.add_argument("--no-remat", default=False, action="store_true",
+                        help="Disable split-mode rematerialization (faster "
+                             "when the model fits in HBM without it)")
     parser.add_argument("--cost-factors", default=[], nargs="+", type=float)
     parser.add_argument("--model-save-dt", default=30, type=int,
                         help="Minutes between intermediate model saves (0 off)")
@@ -250,7 +253,8 @@ def main(argv=None):
     logging.info("Training over mesh:", mesh)
     trainer = Trainer(model, args.solver, args.cost_factors,
                       use_acc_mode=args.use_acc_mode, seed=args.seed, mesh=mesh,
-                      pipeline_targets=args.pipeline_targets)
+                      pipeline_targets=args.pipeline_targets,
+                      use_remat=(False if args.no_remat else None))
 
     if args.initial_tune > 0:
         logging.info("----- Initial Fine Tune -----")

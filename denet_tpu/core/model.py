@@ -384,9 +384,11 @@ class Model:
     def cost_layers(self):
         return [l for l in self.layers if l.has_cost()]
 
-    def loss(self, params, state, x, targets, ctx, cost_factors=None):
+    def loss(self, params, state, x, targets, ctx, cost_factors=None,
+             use_remat=None):
         """Total cost = sum(factor_i * cost_i); returns (total, (costs, new_state))."""
-        outputs, new_state = self.forward(params, state, x, ctx)
+        outputs, new_state = self.forward(params, state, x, ctx,
+                                          use_remat=use_remat)
         clayers = self.cost_layers()
         factors = cost_factors if cost_factors else [1.0] * len(clayers)
         assert len(factors) == len(clayers)

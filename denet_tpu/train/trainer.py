@@ -24,10 +24,15 @@ from denet_tpu.train import solver as solver_mod
 class Trainer:
     def __init__(self, model, solver_mode="sgd", cost_factors=None,
                  use_acc_mode=False, seed=None, mesh=None,
-                 pipeline_targets=False):
+                 pipeline_targets=False, use_remat=None):
         self.model = model
         self.solver_mode = solver_mode
         self.use_acc_mode = use_acc_mode
+        # None = reference split-mode semantics (remat at SPLIT/SKIPSRC.X
+        # boundaries, trading recompute for peak memory); False turns the
+        # recompute off when the model fits in HBM (measured +28% train
+        # step rate for DeNet34-skip @512 on v5e — see PERF.md)
+        self.use_remat = use_remat
         self.mesh = mesh  # data-parallel GSPMD mesh (denet_tpu.parallel.mesh)
         # overlap host target generation (corner search etc.) for batch k+1
         # with the device step for batch k; sample selection then uses
@@ -68,13 +73,16 @@ class Trainer:
         gradient_clip = model.gradient_clip
         update_mask = self.update_mask
 
+        use_remat = self.use_remat
+
         def step(params, slots, state, x, targets, aux, epoch, iteration, lr,
                  momentum, decay, rng):
             def loss_fn(params):
                 ctx = Ctx(train=True, rng=rng, epoch=epoch, iteration=iteration,
                           aux=aux, compute_dtype=model.compute_dtype)
                 total, (costs, new_state) = model.loss(
-                    params, state, x, targets, ctx, cost_factors)
+                    params, state, x, targets, ctx, cost_factors,
+                    use_remat=use_remat)
                 return total, (costs, new_state)
 
             (total, (costs, new_state)), grads = jax.value_and_grad(

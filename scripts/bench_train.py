@@ -39,9 +39,15 @@ def main(argv=None):
 
     logging.init(level="warning")
 
+    import os
     batch, size = args.batch, args.size
     model = _build_detect_model(batch, size, class_num=80, variant="skip")
     model.compute_dtype = jnp.bfloat16
+    if os.environ.get("DENET_BENCH_NO_REMAT", "0") == "1":
+        # split-mode remat trades recompute for memory (reference split
+        # execution); disable to measure the recompute cost when the model
+        # fits in HBM without it
+        model.use_split_mode = False
     trainer = Trainer(model, solver_mode="nesterov", seed=1,
                       pipeline_targets=True)
 

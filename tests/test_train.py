@@ -223,3 +223,43 @@ def test_bfloat16_training_detection():
     for v in jax.tree_util.tree_leaves(model.params):
         if hasattr(v, "dtype") and v.dtype.kind == "f":
             assert str(v.dtype) == "float32", str(v.dtype)
+
+
+def test_no_remat_matches_remat():
+    """Disabling split-mode rematerialization (Trainer(use_remat=False),
+    CLI --no-remat) must not change the numerics — remat trades memory for
+    recompute only."""
+    import random
+    from tests.test_parallel import make_model as _  # noqa: F401 (import check)
+    from tests.test_detection import synthetic_batch
+
+    def run(use_remat):
+        import numpy as np
+        np.random.seed(11)
+        random.seed(11)
+        model = Model()
+        model.batch_size = 2
+        model.class_num = 3
+        model.class_labels = {str(i): i for i in range(3)}
+        desc = ["C[8,3]", "BN", "A", "SPLIT", "C[8,3]", "BN", "A", "SPLIT",
+                "R"]
+        model.build(desc, (3, 16, 16), border_mode="half",
+                    weight_init=["he-forward"])
+        assert model.use_split_mode
+        trainer = Trainer(model, solver_mode="nesterov", seed=4,
+                          use_remat=use_remat)
+        x, metas = synthetic_batch()
+        out = []
+        for it in range(3):
+            cost, _c = trainer.train_step(x, metas, 0, it, 0.05,
+                                          [0.9, 0.999], 1e-4)
+            out.append(cost)
+        return out, model.params
+
+    import jax
+    c1, p1 = run(None)     # remat at SPLIT boundaries
+    c2, p2 = run(False)    # no remat
+    assert c1 == c2
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        assert numpy.array_equal(numpy.asarray(a), numpy.asarray(b))

@@ -212,3 +212,48 @@ def test_deconv_is_adjoint_of_half_conv():
         lhs = float(numpy.sum(y * z))
         rhs = float(numpy.sum(x[:, :, :h, :w] * cz))
         assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))
+
+
+def test_bna_matches_bn_relu_forward_and_grad():
+    """BNA must equal relu(BN(x)) in value AND gradient (the reference's
+    fused-op self-test, batch_norm_relu.py:171-212: grad masks dy by
+    bn_out>0 then runs the BN gradient — exactly autodiff of the
+    composition)."""
+    import jax
+    from denet_tpu.core.model import Model
+
+    def build(desc):
+        numpy.random.seed(13)
+        m = Model()
+        m.batch_size = 2
+        m.class_num = 2
+        m.class_labels = {"a": 0, "b": 1}
+        m.build(desc, (3, 8, 8), border_mode="half",
+                weight_init=["he-forward"])
+        return m
+
+    # identical seeds and identical random-draw order (BN/BNA draw nothing)
+    # give both models the same conv weights
+    m1 = build(["C[4,3]", "BN", "A", "R"])
+    m2 = build(["C[4,3]", "BNA", "R"])
+
+    x = numpy.random.RandomState(3).uniform(
+        0, 1, (2, 3, 8, 8)).astype(numpy.float32)
+    yt = numpy.array([0, 1], dtype=numpy.int64)
+
+    def loss(model, params):
+        ctx = Ctx(train=True, rng=jax.random.PRNGKey(0))
+        total, _aux = model.loss(params, model.state, x,
+                                 [yt, numpy.ones(2, numpy.float32)], ctx)
+        return total
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(m1.params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(m2.params)
+    assert numpy.allclose(float(l1), float(l2), atol=1e-6)
+    # conv + BN gradients identical between the composed and fused forms
+    for k in ("weight",):
+        assert numpy.allclose(numpy.asarray(g1[1][k]),
+                              numpy.asarray(g2[1][k]), atol=1e-6)
+    for k in ("gamma", "bias"):
+        assert numpy.allclose(numpy.asarray(g1[2][k]),
+                              numpy.asarray(g2[2][k]), atol=1e-6)

@@ -204,6 +204,14 @@ def build_parser():
     parser.add_argument("--skip-train", default=False, action="store_true")
     parser.add_argument("--skip-layer-updates", type=int, nargs="+", default=[])
     parser.add_argument("--gradient-clip", type=float, default=0.0)
+    # accepted for reference CLI compatibility; the reference parses these
+    # but never consumes them (train_multi.py:309-312)
+    parser.add_argument("--batch-data-size", type=int, default=1,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--split-seed", type=int, default=0,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--export-symbolic", default=None,
+                        help=argparse.SUPPRESS)
     parser.add_argument("--model-desc", default=["C[100,7]", "P[2]", "C[150,4]",
                                                  "P[2]", "C[250,4]", "P[2]",
                                                  "C[300,1]", "R"], nargs="+")

@@ -36,6 +36,7 @@ def test_train_predict_modify_updatebn_cycle(tmp_path):
         "--output-prefix", prefix, "--epochs", "2", "--batch-size", "4",
         "--solver", "sgd", "--learn-rate", "0.05", "--learn-momentum", "0.9",
         "--border-mode", "half", "--seed", "1",
+        "--compute-dtype", "bfloat16",
         "--model-desc", "C[8,3]", "BN", "A", "P[2]", "R"])
 
     final = prefix + "_epoch001_final.mdl.gz"

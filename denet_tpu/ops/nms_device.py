@@ -103,15 +103,27 @@ def nms(det_pr, fitness, bbox, count, pr_threshold=0.01, nms_threshold=0.5,
             boxes[:, None], top_idx[..., None], axis=2)          # (b, c, m, 4)
         over = _pairwise_iou(cand_bbox) > nms_threshold          # (b, c, m, m)
 
-        def step(suppressed, i):
-            keep_i = top_valid[:, :, i] & ~suppressed[:, :, i]
-            later = jnp.arange(m)[None, None, :] > i
-            suppressed = suppressed | (keep_i[:, :, None] & over[:, :, i] & later)
-            return suppressed, keep_i
+        # exact greedy NMS as a Jacobi fixpoint instead of an m-step scan:
+        # keep_i = valid_i and no higher-ranked kept j overlaps i.  The
+        # recurrence only reads keep_{j<i} (acyclic in rank order), so the
+        # fixpoint is unique and equals the sequential greedy result; the
+        # iteration converges in <= max suppression-chain depth rounds
+        # (typically 2-5) instead of m sequential scan steps.
+        over_lt = over & (jnp.arange(m)[None, None, :, None] <
+                          jnp.arange(m)[None, None, None, :])    # j < i
+        keep0 = top_valid
 
-        suppressed0 = jnp.zeros((b, c, m), dtype=bool)
-        _, keeps = jax.lax.scan(step, suppressed0, jnp.arange(m))
-        keep = jnp.moveaxis(keeps, 0, -1)                        # (b, c, m)
+        def fix_cond(state):
+            return state[1]
+
+        def fix_body(state):
+            keep, _ = state
+            sup = jnp.any(keep[:, :, :, None] & over_lt, axis=2)  # (b, c, m)
+            new = top_valid & ~sup
+            return new, jnp.any(new != keep)
+
+        keep, _ = jax.lax.while_loop(fix_cond, fix_body,
+                                     (keep0, jnp.bool_(True)))
         final_scores = jnp.where(keep, top_scores, neg_inf)      # (b, c, m)
     else:
         keep = top_valid

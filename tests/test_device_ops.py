@@ -176,3 +176,28 @@ def test_device_soft_nms_matches_native():
         dev = sorted((round(p, 4), c) for p, c, _ in dev_lists[b])
         host = sorted((round(p, 4), c) for p, c, _ in host_lists[b])
         assert dev == host
+
+
+def test_nms_fixpoint_suppression_chain():
+    """Dead-suppressor revival: A kills B; C overlaps B (not A) so C
+    survives only because B is gone; C kills D.  Greedy must keep exactly
+    {A, C} — the case where 'suppress everything overlapped' diverges from
+    greedy and where the Jacobi fixpoint needs multiple rounds."""
+    from denet_tpu.ops.nms_device import nms, dets_to_lists
+
+    b, c, sn = 1, 1, 2
+    boxes = numpy.zeros((b, sn, sn, 4), numpy.float32)
+    bx = [(0.00, 0.0, 0.40, 0.4), (0.15, 0.0, 0.55, 0.4),
+          (0.30, 0.0, 0.70, 0.4), (0.45, 0.0, 0.85, 0.4)]
+    for i, v in enumerate(bx):
+        boxes[0, i // sn, i % sn] = v
+    det = numpy.full((b, c + 1, sn, sn), -10.0, numpy.float32)
+    fit = numpy.zeros((b, c + 1, sn, sn), numpy.float32)
+    for i, s in enumerate([-0.1, -0.2, -0.3, -0.4]):
+        det[0, 0, i // sn, i % sn] = -0.01
+        fit[0, 0, i // sn, i % sn] = s
+    dets, n = nms(jnp.asarray(det), jnp.asarray(fit), jnp.asarray(boxes),
+                  jnp.asarray(numpy.array([4], numpy.int32)),
+                  pr_threshold=0.5, nms_threshold=0.3, top_m=4, top_n=4)
+    out = dets_to_lists(numpy.asarray(dets), numpy.asarray(n))[0]
+    assert sorted(round(r[2][0], 2) for r in out) == [0.0, 0.3]

@@ -91,6 +91,10 @@ def calibrate_corner_bias_device(model, x, target_corners=64):
 
 
 def main():
+    # space-to-depth stem: mathematically equivalent rewrite of the 7x7/s2
+    # 3-channel stem conv (one bf16-ULP accumulation-order difference;
+    # fwd+grad parity tested) — 6% pipeline win, see PERF.md
+    os.environ.setdefault("DENET_TPU_S2D_STEM", "1")
     import jax
     import jax.numpy as jnp
 

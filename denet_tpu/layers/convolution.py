@@ -109,13 +109,57 @@ class ConvLayer(Layer):
         # for bf16 inputs): keeping activations in compute_dtype is what lets
         # the conv transpose in the backward pass see matching dtypes.
         w = jnp.flip(w, axis=(2, 3))
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=self.stride,
-            padding=conv_padding(self.filter_shape, self.border_mode),
-            dimension_numbers=_DIMNUMS)
+        if self._use_s2d_stem(x):
+            y = self._s2d_stem(x, w)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=self.stride,
+                padding=conv_padding(self.filter_shape, self.border_mode),
+                dimension_numbers=_DIMNUMS)
         if self.use_bias:
             y = y + params["bias"][None, :, None, None].astype(y.dtype)
         return y, {}
+
+    def _use_s2d_stem(self, x):
+        """Space-to-depth rewrite applies to the classic ResNet stem: 7x7
+        stride-2 'half' conv on a few input channels with even spatial dims.
+        Opt-in (DENET_TPU_S2D_STEM=1): the 3-channel input uses ~2% of the
+        MXU's 128 lanes; in S2D-2 block space the same conv is a 4x4
+        stride-1 conv over 4x the channels — measured 2.79 -> 2.25 ms for
+        the DeNet trunk stem @512 batch 8 (identical math, bf16
+        accumulation-order differences only)."""
+        import os
+        o, c, kh, kw = self.filter_shape
+        return (os.environ.get("DENET_TPU_S2D_STEM", "0") == "1" and
+                (kh, kw) == (7, 7) and tuple(self.stride) == (2, 2) and
+                self.border_mode == "half" and c <= 4 and
+                x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+
+    def _s2d_stem(self, x, wf):
+        """y = conv7x7/s2(x, wf) computed in space-to-depth-2 block space.
+
+        Derivation: with pad 3, input row m = 2i + t for tap t = a-3 in
+        [-3,3]; m = 2(i+qy) + dy with dy = t mod 2, qy = (t-dy)/2 in [-2,1]
+        — a 4-tap stride-1 kernel over block rows with pad (2,1).  Writing
+        a' = a+1 (one zero-pad row/col at the top-left), a' = 2*ky + dy with
+        ky = qy+2, so the tap scatter is exactly pad -> reshape ->
+        transpose.  The transform is linear in w: gradients flow to the
+        original OIHW weights, so training through this path is valid too.
+        """
+        b, c, h, w_in = x.shape
+        o = wf.shape[0]
+        # weights: (O,C,7,7) -> pad to (O,C,8,8) at top/left -> (O, C*4, 4, 4)
+        wp = jnp.pad(wf, ((0, 0), (0, 0), (1, 0), (1, 0)))
+        wp = wp.reshape(o, c, 4, 2, 4, 2)
+        w4 = wp.transpose(0, 1, 3, 5, 2, 4).reshape(o, c * 4, 4, 4)
+        # input: (B,C,H,W) -> S2D-2 blocks (B, C*4, H/2, W/2), channel
+        # order c*4 + dy*2 + dx to match the weight scatter
+        x2 = x.reshape(b, c, h // 2, 2, w_in // 2, 2)
+        x2 = x2.transpose(0, 1, 3, 5, 2, 4).reshape(b, c * 4, h // 2,
+                                                    w_in // 2)
+        return jax.lax.conv_general_dilated(
+            x2, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=_DIMNUMS)
 
     @staticmethod
     def parse_desc(layers, name, tags, params):

@@ -257,3 +257,35 @@ def test_bna_matches_bn_relu_forward_and_grad():
     for k in ("gamma", "bias"):
         assert numpy.allclose(numpy.asarray(g1[2][k]),
                               numpy.asarray(g2[2][k]), atol=1e-6)
+
+
+def test_s2d_stem_matches_direct_conv(monkeypatch):
+    """DENET_TPU_S2D_STEM=1 rewrites the 7x7/s2 'half' stem conv into
+    space-to-depth block space — identical math (f32: exact to accumulation
+    order), including gradients through the original OIHW weights."""
+    import jax
+    from denet_tpu.layers.base import Ctx
+
+    numpy.random.seed(17)
+    layers = [InitialLayer((2, 3, 32, 32))]
+    conv = ConvLayer(layers, (64, 3, 7, 7), (2, 2), True, "half", "he-forward")
+    params = conv.init_params()
+    x = numpy.random.RandomState(1).uniform(
+        0, 1, (2, 3, 32, 32)).astype(numpy.float32)
+
+    def run():
+        def f(p, xx):
+            ctx = Ctx(train=False)
+            y, _ = conv.apply(p, {}, {0: jnp.asarray(xx)}, ctx)
+            return y
+        y, vjp = jax.vjp(lambda p: f(p, x), params)
+        g, = vjp(jnp.ones_like(y))
+        return numpy.asarray(y), numpy.asarray(g["weight"])
+
+    monkeypatch.setenv("DENET_TPU_S2D_STEM", "0")
+    y0, g0 = run()
+    monkeypatch.setenv("DENET_TPU_S2D_STEM", "1")
+    y1, g1 = run()
+    assert y0.shape == y1.shape == (2, 64, 16, 16)
+    assert numpy.allclose(y0, y1, atol=1e-5)
+    assert numpy.allclose(g0, g1, atol=1e-4)

@@ -105,6 +105,8 @@ def main(argv=None):
                    help="comma-separated variant tags to run")
     args = p.parse_args(argv)
 
+    import os
+    os.environ.setdefault("DENET_TPU_S2D_STEM", "1")  # see PERF.md
     import denet_tpu.utils.logging as logging
     logging.init(level="warning")
 

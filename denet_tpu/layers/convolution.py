@@ -123,14 +123,15 @@ class ConvLayer(Layer):
     def _use_s2d_stem(self, x):
         """Space-to-depth rewrite applies to the classic ResNet stem: 7x7
         stride-2 'half' conv on a few input channels with even spatial dims.
-        Opt-in (DENET_TPU_S2D_STEM=1): the 3-channel input uses ~2% of the
+        On by default (opt out with DENET_TPU_S2D_STEM=0): the 3-channel
+        input uses ~2% of the
         MXU's 128 lanes; in S2D-2 block space the same conv is a 4x4
         stride-1 conv over 4x the channels — measured 2.79 -> 2.25 ms for
         the DeNet trunk stem @512 batch 8 (identical math, bf16
         accumulation-order differences only)."""
         import os
         o, c, kh, kw = self.filter_shape
-        return (os.environ.get("DENET_TPU_S2D_STEM", "0") == "1" and
+        return (os.environ.get("DENET_TPU_S2D_STEM", "1") == "1" and
                 (kh, kw) == (7, 7) and tuple(self.stride) == (2, 2) and
                 self.border_mode == "half" and c <= 4 and
                 x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)

@@ -102,3 +102,13 @@ def test_detection_inference_sharded_matches_single_device():
     assert numpy.array_equal(numpy.asarray(count_ref), numpy.asarray(count_sh))
     assert numpy.allclose(numpy.asarray(dets_ref), numpy.asarray(dets_sh),
                           atol=1e-6)
+
+
+def test_graft_entry_contract():
+    """The driver compile-checks __graft_entry__.entry() and runs
+    dryrun_multichip on a virtual mesh — keep both callable."""
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    r = jax.jit(fn)(*args)
+    assert all(hasattr(x, "shape") for x in r)
+    g.dryrun_multichip(2)

@@ -5,7 +5,6 @@ of a forward conv w.r.t. its inputs; here as ``lax.conv_transpose`` on the
 OIHW weight (which XLA lowers to the same transposed-conv HLO).
 """
 import jax
-import jax.numpy as jnp
 import numpy
 
 from denet_tpu.layers.base import Layer, conv_weight_init, to_f32

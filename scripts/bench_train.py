@@ -30,7 +30,6 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args(argv)
-    import jax
     import jax.numpy as jnp
 
     import denet_tpu.utils.logging as logging

@@ -1,5 +1,4 @@
 """End-to-end CLI app tests on synthetic data (the CIFAR10 minimum slice)."""
-import glob
 import os
 
 import numpy

@@ -9,7 +9,7 @@ from PIL import Image
 
 import denet_tpu.data as dataset
 from denet_tpu.data import augment
-from denet_tpu.data.image_loader import ImageLoader, load_sample_proc
+from denet_tpu.data.image_loader import load_sample_proc
 from denet_tpu.data import pascal_voc
 
 

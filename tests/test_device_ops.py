@@ -3,7 +3,6 @@
 Analogue of the reference's optimized-vs-fallback self-tests
 (denet_sparse.py:222-285): the XLA ops must reproduce the host algorithms.
 """
-import math
 
 import jax.numpy as jnp
 import numpy

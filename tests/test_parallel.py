@@ -1,7 +1,6 @@
 """Data-parallel mesh tests on the forced 8-device CPU mesh."""
 import jax
 import numpy
-import pytest
 
 from denet_tpu.core.model import Model
 from denet_tpu.parallel import mesh as mesh_mod

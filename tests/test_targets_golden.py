@@ -8,7 +8,6 @@ import jax.numpy as jnp
 import numpy
 
 from denet_tpu.core.model import Model
-from denet_tpu.layers.base import Ctx
 
 
 def build_model(use_bbox_reg=False, use_bounded_iou=False, use_jointfit=False,

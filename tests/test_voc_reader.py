@@ -1,7 +1,6 @@
 """Pascal VOC reader end-to-end on a synthetic VOCdevkit tree."""
 import os
 
-import numpy
 from PIL import Image
 
 import denet_tpu.data as dataset

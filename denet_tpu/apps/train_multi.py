@@ -159,6 +159,11 @@ def build_parser():
                         action="store_true",
                         help="Overlap host target generation with the device "
                              "step (one-step-stale sample selection)")
+    parser.add_argument("--device-targets", default=False,
+                        action="store_true",
+                        help="Fuse sample selection + target construction "
+                             "into the train step on device (detection "
+                             "models; removes per-step host target work)")
     parser.add_argument("--no-remat", default=False, action="store_true",
                         help="Disable split-mode rematerialization (faster "
                              "when the model fits in HBM without it)")
@@ -262,6 +267,7 @@ def main(argv=None):
     trainer = Trainer(model, args.solver, args.cost_factors,
                       use_acc_mode=args.use_acc_mode, seed=args.seed, mesh=mesh,
                       pipeline_targets=args.pipeline_targets,
+                      device_targets=args.device_targets,
                       use_remat=(False if args.no_remat else None))
 
     if args.initial_tune > 0:

@@ -394,17 +394,33 @@ class Model:
         assert len(factors) == len(clayers)
         total = jnp.float32(0.0)
         costs = []
+        device_targets = "gt_bbox" in ctx.aux
+        ti = 0
         for k, layer in enumerate(clayers):
-            c = layer.cost(ctx.collect[layer.layer_index],
-                           targets[2 * k], targets[2 * k + 1])
+            if device_targets and getattr(layer, "device_target", False):
+                # target built on device inside this jit (ops/target_device)
+                c = layer.cost_device(ctx.collect[layer.layer_index], ctx)
+            else:
+                c = layer.cost(ctx.collect[layer.layer_index],
+                               targets[ti], targets[ti + 1])
+                ti += 2
             costs.append(c)
             total = total + jnp.float32(factors[k]) * c
         return total, (costs, new_state)
 
-    def get_targets(self, data_x, metas):
-        """Host-side target generation for every cost layer (ordered)."""
+    def get_targets(self, data_x, metas, device_targets=False):
+        """Host-side target generation for every cost layer (ordered).
+
+        With ``device_targets`` the layers that build their targets on device
+        are skipped (including the sparse layer's host sample selection when
+        the fused device selection applies)."""
         targets = []
         for layer in self.layers:
+            if device_targets and getattr(layer, "device_target", False):
+                continue
+            if (device_targets and layer.type_name == "denet-sparse" and
+                    layer.nms_threshold >= 1.0):
+                continue    # fused on-device selection inside the step
             t = layer.get_target(self, data_x, metas)
             if t is not None:
                 targets += list(t)

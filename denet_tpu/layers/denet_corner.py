@@ -128,7 +128,22 @@ class DeNetCornerLayer(Layer):
         return (numpy.array([], dtype=numpy.int64), corner_pr.flatten())
 
     def cost(self, collect, yt_index, yt_value):
-        target = yt_value.reshape(self.corner_shape)
+        return self._cost_dense(collect, yt_value.reshape(self.corner_shape))
+
+    def _cost_dense(self, collect, target):
         corner_cost = -jnp.mean(jnp.sum(target * collect["corner_pr"],
                                         axis=(1, 2, 3, 4))) / math.log(2)
         return self.cost_factor * corner_cost
+
+    # device-target mode: build the dense heatmap on device from the compact
+    # gt arrays inside the SAME jit as the forward/backward pass
+    device_target = True
+
+    def cost_device(self, collect, ctx):
+        from denet_tpu.ops import target_device
+        rng = (ctx.layer_rng(self.layer_index) if self.dropout > 0.0 else None)
+        target = target_device.corner_target(
+            ctx.aux["gt_bbox"], ctx.aux["gt_count"], self.height, self.width,
+            self.use_center, dropout=(self.dropout if ctx.train else 0.0),
+            rng=rng)
+        return self._cost_dense(collect, target)

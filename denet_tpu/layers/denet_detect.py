@@ -92,9 +92,17 @@ class DeNetDetectLayer(Layer):
         det_pr = log_softmax(det_lh, axis=1)
         collect = {"det_pr": det_pr}
 
+        # sample bboxes arrive as a device input (aux) or, in fused
+        # device-target training, from the sparse layer's on-device selection
+        sample_bbox = ctx.aux.get("sample_bbox")
+        if sample_bbox is None:
+            sample_bbox = ctx.collect.get(
+                self.sparse_layer.layer_index, {}).get("sample_bbox")
+        if sample_bbox is not None:
+            collect["sample_bbox"] = sample_bbox
+
         if self.use_bbox_reg:
             bbox_reg = y[:, s0:s0 + s1]
-            sample_bbox = ctx.aux["sample_bbox"]
             sample_cx = 0.5 * (sample_bbox[..., 0] + sample_bbox[..., 2])
             sample_cy = 0.5 * (sample_bbox[..., 1] + sample_bbox[..., 3])
             sample_w = sample_bbox[..., 2] - sample_bbox[..., 0]
@@ -257,12 +265,17 @@ class DeNetDetectLayer(Layer):
         v = common.ndarray_unpack(yt_value, shapes)
         det_target = v[0]
         index = 1
+        bbox_valid = bbox_reg_t = indfit_target = None
         if self.use_bbox_reg:
             bbox_valid, bbox_reg_t = v[index:index + 2]
             index += 2
         if self.use_indfit:
             indfit_target = v[index]
+        return self._errors_dense(collect, det_target, bbox_valid, bbox_reg_t,
+                                  indfit_target)
 
+    def _errors_dense(self, collect, det_target, bbox_valid, bbox_reg_t,
+                      indfit_target):
         det_errors = -jnp.sum(det_target * collect["det_pr"], axis=1) / \
             math.log(self.det_shape[1])
 
@@ -313,9 +326,7 @@ class DeNetDetectLayer(Layer):
 
         return det_errors, bbox_errors, indfit_errors
 
-    def cost(self, collect, yt_index, yt_value):
-        det_errors, bbox_errors, indfit_errors = self.get_errors(
-            collect, yt_index, yt_value)
+    def _combine_errors(self, det_errors, bbox_errors, indfit_errors):
         cost = jnp.float32(0.0)
         if det_errors is not None:
             cost += self.cost_factor * jnp.sum(det_errors) / self.batch_size
@@ -324,6 +335,26 @@ class DeNetDetectLayer(Layer):
         if indfit_errors is not None:
             cost += self.indfit_factor * jnp.sum(indfit_errors) / self.batch_size
         return cost
+
+    def cost(self, collect, yt_index, yt_value):
+        return self._combine_errors(*self.get_errors(collect, yt_index,
+                                                     yt_value))
+
+    # device-target mode: IoU matching + fitness binning on device from the
+    # compact gt arrays and the (possibly on-device-selected) sample bboxes
+    device_target = True
+
+    def cost_device(self, collect, ctx):
+        from denet_tpu.ops import target_device
+        sample_bbox = collect["sample_bbox"]
+        t = target_device.detect_targets(
+            ctx.aux["gt_bbox"], ctx.aux["gt_class"], ctx.aux["gt_count"],
+            sample_bbox, self.class_num, self.overlap_threshold,
+            self.use_jointfit, self.use_indfit, self.use_bbox_reg,
+            self.fitness_num, self.null_class, self.s0)
+        return self._combine_errors(*self._errors_dense(
+            collect, t["det_pr"], t.get("bbox_valid"), t.get("bbox_reg"),
+            t.get("indfit_pr")))
 
     # -- inference -----------------------------------------------------------
 

@@ -75,7 +75,13 @@ class DeNetSparseLayer(Layer):
         else:
             # detect phase: corner pass already ran; features arrive as input
             sample_input = ctx.aux["sample_feat"]
-        sample_bbox = ctx.aux["sample_bbox"]
+        sample_bbox = ctx.aux.get("sample_bbox")
+        if sample_bbox is None:
+            # fused device-target training: corner search + random sample
+            # selection traced into the train step itself (no separate corner
+            # pass, no candidate download, selection on CURRENT params)
+            sample_bbox = self._select_samples_device(ctx)
+            ctx.collect[self.layer_index] = {"sample_bbox": sample_bbox}
         # Pallas MXU one-hot-matmul gather (opt-in via DENET_TPU_PALLAS=1;
         # the XLA gather is the default — see ops/sparse_gather_pallas.py)
         if (os.environ.get("DENET_TPU_PALLAS", "0") == "1" and
@@ -89,6 +95,34 @@ class DeNetSparseLayer(Layer):
         else:
             y = sparse_gather(sample_input, sample_bbox, self.grid_size)
         return y, {}
+
+    def _select_samples_device(self, ctx):
+        """On-device training sample selection (fused into the train step).
+
+        Reference semantics of get_target (denet_sparse.py:164-206) with the
+        corner search and the random subset/pad/gt-injection all traced:
+        stop-gradient corner diffs -> device corner search -> select_samples.
+        Requires ctx.aux gt arrays; v1 models only (corner clustering keeps
+        the host greedy path).
+        """
+        import jax
+
+        from denet_tpu.ops.corner_search_device import corner_search
+        from denet_tpu.ops.target_device import select_samples
+
+        assert ctx.train and "gt_bbox" in ctx.aux, \
+            "sample_bbox aux input required outside device-target training"
+        assert self.nms_threshold >= 1.0, \
+            "corner clustering (v2) requires host-side sample selection"
+        corner_pr = ctx.collect[self.corner_layer.layer_index]["corner_pr"]
+        diff = jax.lax.stop_gradient(corner_pr[:, 0] - corner_pr[:, 1])
+        cand, _pr, count = corner_search(
+            diff, self.corner_threshold, self.sample_num,
+            local_max=self.local_max)
+        return jax.lax.stop_gradient(select_samples(
+            cand, count, ctx.aux["gt_bbox"], ctx.aux["gt_count"],
+            ctx.layer_rng(self.layer_index), self.sample_num,
+            self.random_sample, self.sample_gt))
 
     @staticmethod
     def parse_desc(layers, name, tags, params):
@@ -204,13 +238,10 @@ class DeNetSparseLayer(Layer):
         total_cover = 0
         total_bbox = 0
         for b, meta in enumerate(metas):
-            cover = 0
-            for meta_bbox in meta["bbox"]:
-                for _, sample_bbox in sample_bboxs[b]:
-                    if common.overlap_iou(meta_bbox, sample_bbox) > 0.5:
-                        cover += 1
-                        break
-            total_cover += cover
+            if len(meta["bbox"]) > 0 and len(sample_bboxs[b]) > 0:
+                ov = common.iou_matrix(meta["bbox"],
+                                       [s for _, s in sample_bboxs[b]])
+                total_cover += int((ov.max(axis=1) > 0.5).sum())
             total_bbox += len(meta["bbox"])
 
             n = self.sample_count - math.floor(self.random_sample * self.sample_count)

@@ -24,10 +24,17 @@ from denet_tpu.train import solver as solver_mod
 class Trainer:
     def __init__(self, model, solver_mode="sgd", cost_factors=None,
                  use_acc_mode=False, seed=None, mesh=None,
-                 pipeline_targets=False, use_remat=None):
+                 pipeline_targets=False, use_remat=None,
+                 device_targets=False, gt_cap=128):
         self.model = model
         self.solver_mode = solver_mode
         self.use_acc_mode = use_acc_mode
+        # device-target mode: sample selection + dense target construction
+        # traced into the train step (ops/target_device); the host supplies
+        # only compact padded gt arrays.  gt_cap is the static per-image
+        # ground-truth capacity (COCO maxes out near 93 objects).
+        self.device_targets = device_targets
+        self.gt_cap = gt_cap
         # None = reference split-mode semantics (remat at SPLIT/SKIPSRC.X
         # boundaries, trading recompute for peak memory); False turns the
         # recompute off when the model fits in HBM (measured +28% train
@@ -97,17 +104,34 @@ class Trainer:
                 iteration, bias_decay, update_mask)
             return params_new, slots_new, new_state, total, costs
 
-        if self.pipeline_targets:
-            # pipelining keeps a stale params reference alive for the next
-            # batch's sample selection — donation would invalidate it
+        if self.pipeline_targets and not self.device_targets:
+            # host-pipelined mode keeps a stale params reference alive for
+            # the next batch's sample selection — donation would invalidate
+            # it (device-target mode selects inside the step, so it donates)
             return jax.jit(step)
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def prepare_targets(self, data_x, data_m):
         """Host-side target generation for one batch -> (targets, aux).
         Separated from the step so an epoch loop can overlap it with the
-        previous device step (SURVEY.md §7 hard part 1)."""
+        previous device step (SURVEY.md §7 hard part 1).
+
+        In device-target mode this only packs the compact gt arrays (plus
+        host targets/selection for any layer without a device builder)."""
         model = self.model
+        if self.device_targets:
+            from denet_tpu.ops import target_device
+            targets = model.get_targets(data_x, data_m, device_targets=True)
+            gt_bbox, gt_class, gt_count = target_device.pack_gt_arrays(
+                data_m, self.gt_cap)
+            aux = dict(getattr(model, "train_aux", {}))
+            sparse = common.find_layers(model.layers, "denet-sparse", False)
+            if sparse is not None and sparse.nms_threshold >= 1.0:
+                aux.pop("sample_bbox", None)   # fused on-device selection
+            aux.update({"gt_bbox": jnp.asarray(gt_bbox),
+                        "gt_class": jnp.asarray(gt_class),
+                        "gt_count": jnp.asarray(gt_count)})
+            return [jnp.asarray(t) for t in targets], aux
         targets = model.get_targets(data_x, data_m)
         aux = dict(getattr(model, "train_aux", {}))
         return [jnp.asarray(t) for t in targets], aux

@@ -89,3 +89,56 @@ def export_label(fname, label, colors, background=None):
     im_d = numpy.clip(255 * out, 0, 255).astype(numpy.uint8)
     _ensure_dir(fname)
     Image.fromarray(im_d, "RGB").save(fname)
+
+
+# -- hyperspectral -> visible RGB (reference common/image_util.py:61-115) ----
+
+def wavelength_to_rgb(w, gamma=0.8):
+    """Approximate visible-spectrum RGB for wavelength ``w`` (nm) with the
+    classic piecewise linear-ramp model + intensity falloff at the spectrum
+    edges; gamma-compressed.  Returns a (3,) float32 array."""
+    r = g = b = 0.0
+    if 380 <= w < 440:
+        r, b = -(w - 440) / (440 - 380), 1.0
+    elif 440 <= w < 490:
+        g, b = (w - 440) / (490 - 440), 1.0
+    elif 490 <= w < 510:
+        g, b = 1.0, -(w - 510) / (510 - 490)
+    elif 510 <= w < 580:
+        r, g = (w - 510) / (580 - 510), 1.0
+    elif 580 <= w < 645:
+        r, g = 1.0, -(w - 645) / (645 - 580)
+    elif 645 <= w < 781:
+        r = 1.0
+
+    if 380 <= w < 420:
+        factor = 0.3 + 0.7 * (w - 380) / (420 - 380)
+    elif 420 <= w < 701:
+        factor = 1.0
+    elif 701 <= w < 781:
+        factor = 0.3 + 0.7 * (780 - w) / (780 - 700)
+    else:
+        factor = 0.0
+
+    return numpy.array([(r * factor) ** gamma, (g * factor) ** gamma,
+                        (b * factor) ** gamma], dtype=numpy.float32)
+
+
+def convert_hyperspec_rgb(data, wavelens, normalize=False):
+    """(C, H, W) hyperspectral cube + per-channel wavelengths (nm) ->
+    (3, H, W) float32 RGB composite (mean of per-band tinted images)."""
+    assert len(wavelens) == data.shape[0]
+    weights = numpy.stack([wavelength_to_rgb(w) for w in wavelens])  # (C, 3)
+    image = numpy.tensordot(weights.T / len(wavelens), data,
+                            axes=1).astype(numpy.float32)
+    if normalize:
+        return (image - image.min()) / (image.max() - image.min())
+    return image
+
+
+def export_hyperspec_rgb(fname, data, wavelens, normalize=False):
+    """Save a hyperspectral cube as an RGB PNG (values scaled x255)."""
+    image = convert_hyperspec_rgb(data, wavelens, normalize)
+    image = numpy.clip(255 * image.transpose(1, 2, 0), 0, 255)
+    _ensure_dir(fname)
+    Image.fromarray(image.astype(numpy.uint8), "RGB").save(fname)

@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--device-targets", type=int, default=1,
+                   help="1 = fused on-device sample selection + target "
+                        "construction (ops/target_device); 0 = host path")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -48,7 +51,8 @@ def main(argv=None):
         # fits in HBM without it
         model.use_split_mode = False
     trainer = Trainer(model, solver_mode="nesterov", seed=1,
-                      pipeline_targets=True)
+                      pipeline_targets=True,
+                      device_targets=bool(args.device_targets))
 
     rng = numpy.random.RandomState(3)
 

@@ -81,3 +81,42 @@ def test_timer():
     t.mark()
     assert len(t.deltas()) == 2
     assert t.current() >= 0
+
+
+def test_wavelength_to_rgb_golden():
+    from denet_tpu.utils import image_util as iu
+    # pure red band (645-781, full intensity)
+    numpy.testing.assert_allclose(iu.wavelength_to_rgb(700), [1, 0, 0])
+    # green @550: r = ((550-510)/70)^0.8, g = 1, b = 0
+    numpy.testing.assert_allclose(
+        iu.wavelength_to_rgb(550), [(40 / 70) ** 0.8, 1.0, 0.0], atol=1e-6)
+    # violet edge @400: falloff factor 0.3 + 0.7*20/40 = 0.65
+    r = ((40 / 60) * 0.65) ** 0.8
+    numpy.testing.assert_allclose(iu.wavelength_to_rgb(400),
+                                  [r, 0.0, 0.65 ** 0.8], atol=1e-6)
+    # outside the visible range -> black
+    numpy.testing.assert_allclose(iu.wavelength_to_rgb(900), [0, 0, 0])
+
+
+def test_hyperspec_rgb_conversion_and_export(tmp_path):
+    from denet_tpu.utils import image_util as iu
+    data = numpy.zeros((2, 4, 5), dtype=numpy.float32)
+    data[0, 1, 2] = 1.0     # 700nm -> red
+    data[1, 3, 4] = 2.0     # 550nm -> green-ish
+    img = iu.convert_hyperspec_rgb(data, [700, 550])
+    assert img.shape == (3, 4, 5)
+    # composite = sum_c rgb(w_c)/C * data[c]
+    numpy.testing.assert_allclose(img[:, 1, 2],
+                                  iu.wavelength_to_rgb(700) / 2, atol=1e-6)
+    numpy.testing.assert_allclose(img[:, 3, 4],
+                                  iu.wavelength_to_rgb(550), atol=1e-6)
+    norm = iu.convert_hyperspec_rgb(data, [700, 550], normalize=True)
+    assert norm.min() == 0.0 and norm.max() == 1.0
+
+    fname = str(tmp_path / "hs.png")
+    iu.export_hyperspec_rgb(fname, data, [700, 550])
+    from PIL import Image
+    im = numpy.asarray(Image.open(fname))
+    assert im.shape == (4, 5, 3)
+    assert im[1, 2, 0] == int(255 * iu.wavelength_to_rgb(700)[0] / 2)
+    assert im[3, 4, 1] == min(255, int(255 * iu.wavelength_to_rgb(550)[1]))

@@ -87,8 +87,13 @@ class RegressionLayer(Layer):
         yt_index = []
         b_dim = self.log_pr_shape[0]
         cls_dim = self.log_pr_shape[1]
-        for b in range(len(metas)):
-            cls = metas[b]["image_class"]
+        # multi-host: flat indices encode the GLOBAL batch position; each
+        # process builds targets for its local slice at its global offset
+        # (set by Trainer.prepare_targets from jax.process_index())
+        offset = getattr(model, "target_batch_offset", 0)
+        for local_b in range(len(metas)):
+            b = local_b + offset
+            cls = metas[local_b]["image_class"]
             if len(self.valid) > 0:
                 for v in range(len(self.valid)):
                     yt_index.append(numpy.ravel_multi_index(

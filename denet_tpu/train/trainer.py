@@ -119,6 +119,11 @@ class Trainer:
         In device-target mode this only packs the compact gt arrays (plus
         host targets/selection for any layer without a device builder)."""
         model = self.model
+        # multi-host data parallelism: this process owns the global batch
+        # slice [process_index * local_b, ...) — index-encoding targets
+        # (e.g. the regression layer's flat indices) need the global offset
+        model.target_batch_offset = (jax.process_index() * len(data_m)
+                                     if jax.process_count() > 1 else 0)
         if self.device_targets:
             from denet_tpu.ops import target_device
             targets = model.get_targets(data_x, data_m, device_targets=True)

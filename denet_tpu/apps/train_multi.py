@@ -279,6 +279,11 @@ def main(argv=None):
         if len(args.learn_anneal_epochs) == 0 or \
                 (epoch + 1) in args.learn_anneal_epochs:
             learn_rate *= args.learn_anneal
+        # per-epoch shuffles compose in place, so replay the skipped epochs'
+        # shuffle history — a restarted run then sees the same data order an
+        # uninterrupted run would (and all hosts stay in lockstep)
+        random.seed(args.seed + epoch)
+        train_data.shuffle()
 
     for epoch in range(args.epoch_start, args.epochs):
         logging.info("----- Training Epoch: %i -----" % epoch)

@@ -199,3 +199,66 @@ def test_predict_multicrop_cli(tmp_path, monkeypatch):
         "--extension", "imagenet,crop=16,scale=20,multicrop",
         "--batch-size", "10", "--predict-mode", "multicrop",
         "--results", str(tmp_path / "mc")])
+
+
+def test_train_multi_restart_resumes_trajectory(tmp_path, monkeypatch):
+    """End-to-end restart (reference train_multi.py:242-268,324-331): run 2
+    epochs; separately, kill the run right after epoch 0's checkpoint, then
+    relaunch with --restart and assert it resumes at epoch 1 and reproduces
+    the uninterrupted run's final parameters exactly (sgd, momentum 0, so
+    the lost solver slots are restart-invariant)."""
+    train_dir = str(tmp_path / "train")
+    make_dataset(train_dir, n_per_class=8)
+
+    def run_args(prefix):
+        return ["--train", train_dir, "--extension", "png",
+                "--output-prefix", prefix, "--epochs", "2",
+                "--batch-size", "8", "--devices", "4", "--solver", "sgd",
+                "--learn-rate", "0.05", "--learn-momentum", "0",
+                "--border-mode", "half", "--seed", "1", "--model-save-dt", "0",
+                "--model-desc", "C[8,3]", "BN", "A", "P[2]", "R"]
+
+    # uninterrupted 2-epoch run
+    dir_a = tmp_path / "a"
+    os.makedirs(str(dir_a / "out"))
+    monkeypatch.chdir(str(dir_a))
+    train_multi_app.main(run_args(str(dir_a / "out" / "model")))
+    ref = model_mod.load_from_file(str(dir_a / "out" /
+                                       "model_epoch001_final.mdl.gz"))
+
+    # interrupted run: die immediately after epoch 0's final checkpoint
+    dir_b = tmp_path / "b"
+    os.makedirs(str(dir_b / "out"))
+    monkeypatch.chdir(str(dir_b))
+    real_save = model_mod.save_to_file
+
+    def killing_save(model, fname):
+        real_save(model, fname)
+        if fname.endswith("_epoch000_final.mdl.gz"):
+            raise KeyboardInterrupt("simulated kill")
+
+    monkeypatch.setattr(train_multi_app.model_mod, "save_to_file",
+                        killing_save)
+    try:
+        train_multi_app.main(run_args(str(dir_b / "out" / "model")))
+        raise AssertionError("run should have been killed")
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(train_multi_app.model_mod, "save_to_file", real_save)
+    assert os.path.isfile(str(dir_b / "out" / "model_epoch000_final.mdl.gz"))
+    assert not os.path.isfile(str(dir_b / "out" /
+                                  "model_epoch001_final.mdl.gz"))
+
+    # restart: resumes at epoch 1 (train.args + newest checkpoint)
+    train_multi_app.main(["--restart"])
+    resumed = model_mod.load_from_file(str(dir_b / "out" /
+                                           "model_epoch001_final.mdl.gz"))
+
+    assert resumed.iteration == ref.iteration
+    for p_ref, p_res in zip(ref.params, resumed.params):
+        for key in p_ref:
+            if key == "layers":
+                continue
+            numpy.testing.assert_allclose(numpy.asarray(p_res[key]),
+                                          numpy.asarray(p_ref[key]),
+                                          atol=1e-6)

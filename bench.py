@@ -165,19 +165,23 @@ def main():
 
     drain_fn = _keepalive(jax.jit(drain))
 
+    # pre-cast conv weights to bf16 once (after any calibration surgery):
+    # removes per-step f32->bf16 weight converts from the fused pipeline
+    params = model.inference_params()
+
     # warmup: run + drain once, then force the one-time d2h link transition
     # with the first host read — everything stays compiled + cached after
-    rs = [fn(model.params, model.state, staged[i % n_staged])
+    rs = [fn(params, model.state, staged[i % n_staged])
           for i in range(2)]
     d, c = drain_fn([r[0] for r in rs] * (iters // 2),
                     [r[1] for r in rs] * (iters // 2))
     numpy.asarray(c)   # first d2h read: one-time link transition
-    numpy.asarray(fn(model.params, model.state, staged[0])[1][0])
+    numpy.asarray(fn(params, model.state, staged[0])[1][0])
 
     # timed: full pipeline per batch, ALL detections materialized on host by
     # the end of the window (single stacked download: ~770KB for 40 batches)
     t0 = time.time()
-    rs = [fn(model.params, model.state, staged[i % n_staged])
+    rs = [fn(params, model.state, staged[i % n_staged])
           for i in range(iters)]
     dets_dev, counts_dev = drain_fn([r[0] for r in rs], [r[1] for r in rs])
     dets = numpy.asarray(dets_dev)

@@ -67,6 +67,7 @@ class Model:
         # cached jitted functions
         self._predict_fn = None
         self._on_device = False
+        self._inference_params = None   # (params identity, cast copy)
 
     # -- shapes --------------------------------------------------------------
 
@@ -135,6 +136,36 @@ class Model:
             self.state = jax.tree_util.tree_map(jnp.asarray, self.state)
             self._on_device = True
 
+    def inference_params(self):
+        """Params with conv/deconv "weight" leaves pre-cast to compute_dtype.
+
+        ConvLayer.apply casts w to ctx.compute_dtype inside the trace; with
+        f32 master weights that cast runs EVERY step of the fused detection
+        pipeline (the optimized HLO shows ~11% of estimated cycles in weight
+        converts — the 1536x4706 wide detect-head weight alone ~1.3M cycles).
+        Pre-casting once is bitwise-identical (the conv sees the same bf16
+        value) and removes the per-step converts.  BN leaves keep f32 (gamma*
+        stdinv folds in f32).  Training keeps f32 masters — this is for the
+        detect/predict paths only."""
+        if self.compute_dtype is None:
+            return self.params
+        if self._inference_params is not None and \
+                self._inference_params[0] is self.params:
+            return self._inference_params[1]
+        dt = self.compute_dtype
+
+        def cast(path, leaf):
+            key = path[-1]
+            name = getattr(key, "key", getattr(key, "name", None))
+            if name == "weight" and hasattr(leaf, "dtype") and \
+                    leaf.dtype == jnp.float32:
+                return jnp.asarray(leaf, dtype=dt)
+            return leaf
+
+        cast_params = jax.tree_util.tree_map_with_path(cast, self.params)
+        self._inference_params = (self.params, cast_params)
+        return cast_params
+
     # -- forward -------------------------------------------------------------
 
     def segments(self, use_remat):
@@ -149,11 +180,22 @@ class Model:
         return [(points[i] + 1, points[i + 1] + 1) for i in range(len(points) - 1)
                 if points[i] + 1 < min(points[i + 1] + 1, len(self.layers) + 1)]
 
-    @staticmethod
-    def prep_input(x, ctx):
+    def prep_input(self, x, ctx):
         """uint8 image batches decode to [0,1] on device (4x less host->device
-        traffic than float32 — the deployment-realistic input format)."""
+        traffic than float32 — the deployment-realistic input format).
+
+        When the first layer is the S2D-eligible stem conv, the uint8 tensor
+        passes through untouched and the conv decodes AFTER its
+        space-to-depth transpose — the transpose then moves 1-byte elements
+        instead of 2-byte bf16 (measured 2.50 -> 2.27 ms for the stem @512
+        b8; bitwise-identical since u8->bf16 is exact and decode is
+        elementwise)."""
         if x.dtype == jnp.uint8:
+            first = self.layers[1] if len(self.layers) > 1 else None
+            if first is not None and first.type_name == "conv" and \
+                    getattr(first, "_use_s2d_stem", None) and \
+                    first._use_s2d_stem(x):
+                return x
             return x.astype(ctx.compute_dtype or jnp.float32) / 255.0
         return x
 

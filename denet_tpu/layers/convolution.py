@@ -102,7 +102,8 @@ class ConvLayer(Layer):
         x = outputs[self.input_index]
         w = params["weight"]
         if ctx.compute_dtype is not None:
-            x = x.astype(ctx.compute_dtype)
+            if x.dtype != jnp.uint8:    # u8: decode deferred into _s2d_stem
+                x = x.astype(ctx.compute_dtype)
             w = w.astype(ctx.compute_dtype)
         # Theano true-convolution == XLA correlation with flipped kernel.
         # Output dtype follows the operands (MXU accumulates f32 internally
@@ -158,6 +159,11 @@ class ConvLayer(Layer):
         x2 = x.reshape(b, c, h // 2, 2, w_in // 2, 2)
         x2 = x2.transpose(0, 1, 3, 5, 2, 4).reshape(b, c * 4, h // 2,
                                                     w_in // 2)
+        if x2.dtype == jnp.uint8:
+            # deferred prep_input decode (see Model.prep_input): transpose
+            # ran on 1-byte elements; u8 -> float is exact, so this is
+            # bitwise-identical to decode-then-transpose
+            x2 = x2.astype(wf.dtype) / 255.0
         return jax.lax.conv_general_dilated(
             x2, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=_DIMNUMS)

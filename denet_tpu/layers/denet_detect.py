@@ -435,7 +435,7 @@ class DeNetDetectLayer(Layer):
         bboxs = bbox_arr.reshape(self.batch_size, sn, sn, 4)
         timer.mark()
 
-        r = self._detect_fn(model.params, model.state,
+        r = self._detect_fn(model.inference_params(), model.state,
                             model._detect_sample_feat, jnp.asarray(bboxs))
         det_pr = numpy.asarray(r["det_pr"])
         fitness = numpy.asarray(r["fitness"])
@@ -482,7 +482,7 @@ class DeNetDetectLayer(Layer):
                 top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
 
         timer = common.Timer()
-        dets, _det_count = self._full_fn[key](model.params, model.state,
+        dets, _det_count = self._full_fn[key](model.inference_params(), model.state,
                                               jnp.asarray(data_x))
         detlists = nms_device.dets_to_lists(dets)   # one host transfer
         timer.mark()
@@ -523,7 +523,7 @@ class DeNetDetectLayer(Layer):
             model, data_x, train=False, store_shared=True)
         sn = self.sample_num
         bboxs = bbox_arr.reshape(self.batch_size, sn, sn, 4)
-        dets, _ = fn(model.params, model.state, model._detect_sample_feat,
+        dets, _ = fn(model.inference_params(), model.state, model._detect_sample_feat,
                      jnp.asarray(bboxs), jnp.asarray(counts))
         detlists = nms_device.dets_to_lists(dets)
         timer.mark()
@@ -612,7 +612,7 @@ class DeNetDetectLayer(Layer):
             metas_acc = []
             for data_x, data_m in batches:
                 xj = jnp.asarray(data_x)                       # async upload
-                dets, _ = fn(model.params, model.state, xj)    # async compute
+                dets, _ = fn(model.inference_params(), model.state, xj)    # async compute
                 acc.append(dets)
                 metas_acc.append(data_m)
                 n_images += len(data_m)
@@ -626,7 +626,7 @@ class DeNetDetectLayer(Layer):
             pending = None  # (dets_device, data_m)
             for data_x, data_m in batches:
                 xj = jnp.asarray(data_x)                       # async upload
-                dets, _ = fn(model.params, model.state, xj)    # async compute
+                dets, _ = fn(model.inference_params(), model.state, xj)    # async compute
                 if pending is not None:
                     detlists = nms_device.dets_to_lists(pending[0])
                     results += [{"detections": dl, "meta": m}

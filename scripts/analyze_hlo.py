@@ -1,17 +1,18 @@
-"""Optimized-HLO analysis of the fused detection pipeline (VERDICT item 4).
+"""Optimized-HLO audit of the fused detection pipeline (VERDICT r1 item 4).
 
-Compiles the full pipeline for the real TPU, then inspects the optimized
-HLO text for layout/fusion pathologies: transpose/copy instructions with
-large shapes (layout-assignment misses), convolution custom-call count,
-and the largest non-fused ops.  Pure compile + local text analysis — no
-timed device execution.
+Compiles the full pipeline for the TPU, then ranks instructions by the
+backend's own ``estimated_cycles`` (present in every fusion/copy backend
+config of the scheduled module) — aggregated by op type and by source
+line.  This is what located the round-2 wins: the S2D stem's bf16 input
+transpose copy (now done on uint8 — half the bytes) and the per-step
+f32->bf16 weight converts (now pre-cast once via Model.inference_params).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/analyze_hlo.py
 """
 import os
 import re
 import sys
-from collections import Counter
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -29,70 +30,49 @@ model = _build_detect_model(batch, size, class_num=80, variant="skip")
 model.compute_dtype = jnp.bfloat16
 detect_layer = model.layers[-1]
 perturb_heads_host(model)
+model.ensure_on_device()
 
 fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5, corner_k=256,
                                 top_m=128, top_n=100)
-rng = numpy.random.RandomState(3)
 x = numpy.zeros((batch, 3, size, size), numpy.uint8)
-
-lowered = jax.jit(fn).lower(model.params, model.state, x)
-compiled = lowered.compile()
+params = model.inference_params()
+compiled = jax.jit(fn).lower(params, model.state, x).compile()
 txt = compiled.as_text()
-print("HLO text: %.1f MB, %d lines" % (len(txt) / 1e6, txt.count("\n")))
 
-SHAPE_RE = re.compile(r"(bf16|f32|f16|s32|u32|u8|pred)\[([\d,]*)\]")
+ca = compiled.cost_analysis()
+ca = ca[0] if isinstance(ca, list) else ca
+if ca:
+    print("flops/step: %.1f G   bytes accessed/step: %.2f GB" % (
+        ca.get("flops", 0) / 1e9, ca.get("bytes accessed", 0) / 1e9))
 
-
-def shape_bytes(m):
-    dt, dims = m.group(1), m.group(2)
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * {"bf16": 2, "f16": 2, "f32": 4, "s32": 4, "u32": 4,
-                "u8": 1, "pred": 1}[dt]
-
-
-op_counts = Counter()
-transpose_bytes = []
-copy_bytes = []
-conv_lines = []
-fusion_count = 0
-for line in txt.splitlines():
-    ls = line.strip()
-    m = re.match(r"(?:ROOT )?%?[\w.\-]+ = (\w+)\[?", ls)
-    if " = " not in ls:
+tot = 0
+by_src = defaultdict(int)
+by_op = defaultdict(int)
+rows = []
+for ls in txt.splitlines():
+    m = re.search(r'"estimated_cycles":"(\d+)"', ls)
+    if not m:
         continue
-    rhs = ls.split(" = ", 1)[1]
-    sm = SHAPE_RE.match(rhs)
-    opm = re.search(r"\]?[\s}]*(\w[\w\-]*)\(", rhs)
-    op = opm.group(1) if opm else "?"
-    op_counts[op] += 1
-    if op == "fusion":
-        fusion_count += 1
-    if op == "transpose" and sm:
-        transpose_bytes.append((shape_bytes(sm), ls[:140]))
-    if op == "copy" and sm:
-        copy_bytes.append((shape_bytes(sm), ls[:140]))
-    if "convolution" in rhs[:400] and ("custom-call" in rhs or op == "convolution"):
-        conv_lines.append(ls[:150])
+    cyc = int(m.group(1))
+    tot += cyc
+    sm = re.search(r'source_file="([^"]+)" source_line=(\d+)', ls)
+    src = ("%s:%s" % (sm.group(1).split("/")[-1], sm.group(2))) if sm else "?"
+    om = re.search(r'= \S+ (\w[\w\-\.]*)\(', ls)
+    op = om.group(1).split(".")[0] if om else "?"
+    by_src[src] += cyc
+    by_op[op] += cyc
+    rows.append((cyc, op, src, ls.strip()[:110]))
 
-print("\ntop ops:", op_counts.most_common(15))
-print("\nconvolutions: %d" % len(conv_lines))
-print("fusions: %d" % fusion_count)
-
-transpose_bytes.sort(reverse=True)
-copy_bytes.sort(reverse=True)
-print("\nlargest transposes (layout changes):")
-for b, l in transpose_bytes[:12]:
-    print("  %8.2f MB  %s" % (b / 1e6, l))
-print("\nlargest copies:")
-for b, l in copy_bytes[:12]:
-    print("  %8.2f MB  %s" % (b / 1e6, l))
-
-total_t = sum(b for b, _ in transpose_bytes) + sum(b for b, _ in copy_bytes)
-print("\ntotal transpose+copy bytes touched: %.1f MB/step" % (total_t / 1e6))
-
-# rough bandwidth bound: HBM ~ 820 GB/s on v5e
-print("=> lower-bound cost at 820GB/s: %.3f ms" % (2 * total_t / 820e9 * 1e3))
+print("total estimated cycles: %d (~%.2f ms at 940 MHz; scheduler estimate,"
+      " not wall clock — use for RANKING)" % (tot, tot / 940e6 * 1e3))
+print("\nby op type:")
+for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:12]:
+    print("  %-22s %10d  (%4.1f%%)" % (k, v, 100 * v / tot))
+print("\nby source line (top 20):")
+for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:20]:
+    print("  %-36s %10d  (%4.1f%%)" % (k, v, 100 * v / tot))
+rows.sort(reverse=True)
+print("\ntop 15 single instructions:")
+for cyc, op, src, l in rows[:15]:
+    print("  %9d  %-12s %-30s %s" % (cyc, op, src, l[:95]))
 print("DONE")

@@ -289,3 +289,46 @@ def test_s2d_stem_matches_direct_conv(monkeypatch):
     assert y0.shape == y1.shape == (2, 64, 16, 16)
     assert numpy.allclose(y0, y1, atol=1e-5)
     assert numpy.allclose(g0, g1, atol=1e-4)
+
+
+def test_s2d_stem_uint8_deferred_decode_bitwise(monkeypatch):
+    """uint8 inputs pass through Model.prep_input undecoded when the first
+    layer is the S2D-eligible stem; the conv decodes after its 1-byte
+    transpose.  Bitwise-identical to decode-then-transpose (u8->float is
+    exact, decode is elementwise)."""
+    from denet_tpu.core.model import Model
+    from denet_tpu.layers.base import Ctx
+
+    monkeypatch.setenv("DENET_TPU_S2D_STEM", "1")
+    numpy.random.seed(23)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    model.build(["C[16,7,2]", "BN", "A", "R"], (3, 32, 32),
+                border_mode="half", weight_init=["he-forward"])
+
+    x_u8 = numpy.random.RandomState(2).randint(
+        0, 256, (2, 3, 32, 32)).astype(numpy.uint8)
+    x_f32 = x_u8.astype(numpy.float32) / 255.0
+
+    ctx = Ctx(train=False)
+    # deferred-decode path: prep_input must leave uint8 untouched
+    assert model.prep_input(jnp.asarray(x_u8), ctx).dtype == jnp.uint8
+    out_u8, _ = model.forward(model.params, model.state,
+                              jnp.asarray(x_u8), Ctx(train=False))
+    out_f32, _ = model.forward(model.params, model.state,
+                               jnp.asarray(x_f32), Ctx(train=False))
+    last = len(model.layers) - 1
+    assert numpy.array_equal(numpy.asarray(out_u8[last]),
+                             numpy.asarray(out_f32[last]))
+
+    # non-eligible first layer (plain 3x3 conv): prep decodes as before
+    model2 = Model()
+    model2.batch_size = 2
+    model2.class_num = 3
+    model2.class_labels = model.class_labels
+    model2.build(["C[8,3]", "R"], (3, 32, 32), border_mode="half",
+                 weight_init=["he-forward"])
+    decoded = model2.prep_input(jnp.asarray(x_u8), Ctx(train=False))
+    assert decoded.dtype == jnp.float32

@@ -16,6 +16,9 @@ The reference publishes no training-rate baseline (BASELINE.md), so
 vs_baseline is reported against its own device_step (ratio of loop
 efficiency) for the loop line and 1.0 for the device line.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import sys

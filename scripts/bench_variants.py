@@ -14,6 +14,9 @@ corners/type/image, null-dominant classifier) exactly as in bench.py.
 Appends one JSON line per variant to the --out file as it completes, so a
 partial run still yields data (remote compiles take minutes per variant).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import sys
@@ -71,8 +74,9 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
 
     fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
                                     corner_k=256, top_m=128, top_n=100)
+    params = model.inference_params()   # pre-cast bf16 conv weights
     t_c0 = time.time()
-    r = fn(model.params, model.state, x)
+    r = fn(params, model.state, x)
     jax.block_until_ready(r)
     compile_s = time.time() - t_c0
     # under the axon relay block_until_ready does NOT force remote
@@ -83,7 +87,7 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
     def timed(iters):
         t0 = time.time()
         for _ in range(iters):
-            r = fn(model.params, model.state, x)
+            r = fn(params, model.state, x)
         numpy.asarray(r[1][0])   # scalar-ish read: drains the exec queue
         return time.time() - t0
 

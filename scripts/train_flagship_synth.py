@@ -19,6 +19,9 @@ Protocol notes (PERF.md environment gotchas):
 
 Usage:  python scripts/train_flagship_synth.py [--steps 3000] [--out F]
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import math
 import sys

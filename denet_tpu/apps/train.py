@@ -111,6 +111,10 @@ def build_parser():
                         help="Fuse sample selection + target construction "
                              "into the train step on device (detection "
                              "models; removes per-step host target work)")
+    parser.add_argument("--cost-read-interval", type=int, default=8,
+                        help="Pipelined epochs read cost scalars in blocks "
+                             "of K (one stacked device read per block; "
+                             "per-step reads serialize the loop)")
     parser.add_argument("--no-remat", default=False, action="store_true",
                         help="Disable split-mode rematerialization (faster "
                              "when the model fits in HBM without it)")
@@ -166,6 +170,7 @@ def main(argv=None):
                       use_acc_mode=args.use_acc_mode, seed=args.seed,
                       pipeline_targets=args.pipeline_targets,
                       device_targets=args.device_targets,
+                      cost_read_interval=args.cost_read_interval,
                       use_remat=(False if args.no_remat else None))
 
     learn_rate = args.learn_rate

@@ -25,7 +25,7 @@ class Trainer:
     def __init__(self, model, solver_mode="sgd", cost_factors=None,
                  use_acc_mode=False, seed=None, mesh=None,
                  pipeline_targets=False, use_remat=None,
-                 device_targets=False, gt_cap=128):
+                 device_targets=False, gt_cap=128, cost_read_interval=8):
         self.model = model
         self.solver_mode = solver_mode
         self.use_acc_mode = use_acc_mode
@@ -45,6 +45,12 @@ class Trainer:
         # with the device step for batch k; sample selection then uses
         # one-step-stale parameters (selection only — gradients stay exact)
         self.pipeline_targets = pipeline_targets
+        # the pipelined epoch reads cost scalars in batches of K (one
+        # stacked transfer) instead of one blocking read per step: each
+        # read is a full round trip to the device, which serializes the
+        # loop (measured 117 -> 282 img/s at K=8 on the relay link; the
+        # total cost stays exact, NaN aborts trail by <=K steps)
+        self.cost_read_interval = max(1, int(cost_read_interval))
 
         clayers = model.cost_layers()
         self.cost_factors = ([1.0] * len(clayers) if not cost_factors
@@ -82,11 +88,21 @@ class Trainer:
 
         use_remat = self.use_remat
 
-        def step(params, slots, state, x, targets, aux, epoch, iteration, lr,
-                 momentum, decay, rng):
+        def step(params, slots, state, x, targets, aux, hyper, rng):
+            # hyper = f32[6]: (epoch, iteration, lr, momentum0, momentum1,
+            # decay) packed into ONE small upload — separate jnp scalar
+            # wrappers were 5 host->device transfers per step, visible as
+            # dispatch latency on the relay link.  The rng chain advances
+            # on device too (same split sequence the host used, so the
+            # training trajectory is bit-identical).
+            epoch, iteration, lr = hyper[0], hyper[1], hyper[2]
+            momentum, decay = hyper[3:5], hyper[5]
+            rng_next, step_rng = jax.random.split(rng)
+
             def loss_fn(params):
-                ctx = Ctx(train=True, rng=rng, epoch=epoch, iteration=iteration,
-                          aux=aux, compute_dtype=model.compute_dtype)
+                ctx = Ctx(train=True, rng=step_rng, epoch=epoch,
+                          iteration=iteration, aux=aux,
+                          compute_dtype=model.compute_dtype)
                 total, (costs, new_state) = model.loss(
                     params, state, x, targets, ctx, cost_factors,
                     use_remat=use_remat)
@@ -102,7 +118,7 @@ class Trainer:
             params_new, slots_new = solver_mod.apply_updates(
                 solver_mode, params, grads, slots, roles, lr, momentum, decay,
                 iteration, bias_decay, update_mask)
-            return params_new, slots_new, new_state, total, costs
+            return params_new, slots_new, new_state, total, costs, rng_next
 
         if self.pipeline_targets and not self.device_targets:
             # host-pipelined mode keeps a stale params reference alive for
@@ -157,8 +173,10 @@ class Trainer:
         targets, aux = (prepared if prepared is not None
                         else self.prepare_targets(data_x, data_m))
 
-        self.rng, step_rng = jax.random.split(self.rng)
-        momentum = numpy.asarray(momentum, dtype=numpy.float32)
+        m = numpy.asarray(momentum, dtype=numpy.float32).ravel()
+        hyper = numpy.array([epoch, it, learning_rate, m[0],
+                             m[1] if m.size > 1 else 0.0, decay],
+                            dtype=numpy.float32)
         data_x = jnp.asarray(data_x)
 
         if self.mesh is not None:
@@ -175,13 +193,13 @@ class Trainer:
             targets = mesh_mod.shard_args(self.mesh, targets, batch_leaves=True)
             aux = mesh_mod.shard_args(self.mesh, aux, batch_leaves=True)
 
-        params, slots, state, total, costs = self._step_fn(
+        params, slots, state, total, costs, rng_next = self._step_fn(
             model.params, self.slots, model.state, data_x, targets, aux,
-            jnp.int32(epoch), jnp.float32(it), jnp.float32(learning_rate),
-            momentum, jnp.float32(decay), step_rng)
+            hyper, self.rng)
         model.params = params
         model.state = state
         self.slots = slots
+        self.rng = rng_next
 
         if self.use_acc_mode:
             # reference acc-mode averages every shared update: parameters,
@@ -258,7 +276,24 @@ class Trainer:
                     dataset_m[i * bs:(i + 1) * bs])
 
         total_cost = 0.0
-        pending = None   # (total, costs) futures of the previous step
+        pending = []     # total-cost futures of in-flight steps
+        first_it = model.iteration
+
+        def flush():
+            # ONE stacked transfer reads every pending cost scalar: each
+            # host read is a full device round trip, so per-step reads
+            # serialize the loop (117 -> 282 img/s at interval 8; PERF.md)
+            nonlocal total_cost
+            if not pending:
+                return
+            vals = numpy.asarray(jnp.stack(pending))
+            if not numpy.isfinite(vals).all():
+                raise Exception("ERROR: Cost is NaN")
+            total_cost += float(vals.sum())
+            logging.verbose("Batch block ending %i.%i - cost:" % (
+                epoch, model.iteration - first_it - 1), float(vals[-1]))
+            pending.clear()
+
         data_x, data_m = batch(0)
         prepared = self.prepare_targets(data_x, data_m)
         for index in range(index_num):
@@ -274,18 +309,11 @@ class Trainer:
                 data_x, data_m = batch(index + 1)
                 prepared = self.prepare_targets(data_x, data_m)
 
-            if pending is not None:
-                cost = float(pending[0])
-                if math.isnan(cost):
-                    raise Exception("ERROR: Cost is NaN")
-                total_cost += cost
-            pending = out
+            pending.append(out[0])
+            if len(pending) >= self.cost_read_interval:
+                flush()
 
         model._target_params = None
         model._target_state = None
-        if pending is not None:
-            cost = float(pending[0])
-            if math.isnan(cost):
-                raise Exception("ERROR: Cost is NaN")
-            total_cost += cost
+        flush()
         return total_cost

@@ -104,10 +104,20 @@ def main(argv=None):
                       "value": round(dev_hz, 2), "unit": "images/sec",
                       "vs_baseline": 1.0}), flush=True)
 
-    # --- pipelined loop: host target prep overlapped with device step ------
+    # --- pipelined loop: host target prep overlapped with device step,
+    # cost scalars read in blocks of K as ONE stacked transfer (the
+    # production _train_epoch_pipelined protocol; per-step reads serialize
+    # the loop on the relay — PERF.md round 2)
+    import jax.numpy as jnpp
+    K = trainer.cost_read_interval
     iters = args.iters
+    # warm the stacked-read shapes OUTSIDE the window (each new stack width
+    # is a fresh — slow, remote — XLA compile on this harness)
+    numpy.asarray(jnpp.stack([total] * K))
+    if iters % K:
+        numpy.asarray(jnpp.stack([total] * (iters % K)))
     t0 = time.time()
-    pending = None
+    pending = []
     prep = trainer.prepare_targets(xs_dev[0], batches[0][1])
     for i in range(iters):
         fut = trainer.train_step(xs_dev[i], batches[i][1], 0, 22 + i,
@@ -115,10 +125,12 @@ def main(argv=None):
                                  prepared=prep, block=False)
         if i + 1 < iters:
             prep = trainer.prepare_targets(xs_dev[i + 1], batches[i + 1][1])
-        if pending is not None:
-            float(pending[0])   # scalar read: bounds queue depth to 1
-        pending = fut
-    float(pending[0])
+        pending.append(fut[0])
+        if len(pending) >= K:
+            numpy.asarray(jnpp.stack(pending))   # one read per K steps
+            pending = []
+    if pending:
+        numpy.asarray(jnpp.stack(pending))
     dt = time.time() - t0
     loop_hz = batch * iters / dt
     print(json.dumps({"metric": "denet34_skip_train_loop",

@@ -1,0 +1,60 @@
+"""Held-out mAP of the trained flagship checkpoint (bench model evidence).
+
+Loads models/denet34_skip_synth512.mdl.gz and evaluates VOC 11-point
+mAP@0.5 on HELD-OUT synthetic data (a seed never used in training — the
+training pool was RandomState(7), bench staging RandomState(3)).  Shows
+the checkpoint behind the benchmark headline is a working detector, not
+just a timing fixture.
+
+Run: python scripts/eval_flagship_synth.py [--batches 12]
+"""
+import argparse
+import os
+import sys
+
+import numpy
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, default=12)
+    p.add_argument("--model", default="models/denet34_skip_synth512.mdl.gz")
+    p.add_argument("--pr-threshold", type=float, default=0.05)
+    p.add_argument("--nms-threshold", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    import denet_tpu.core.model as model_mod
+    import denet_tpu.utils.logging as logging
+    from denet_tpu.data import pascal_voc
+    from denet_tpu.data.synthetic import make_batch
+
+    logging.init(level="warning")
+    model = model_mod.load_from_file(args.model, batch_size=8)
+    model.compute_dtype = jnp.bfloat16
+    model.ensure_on_device()
+    detect_layer = model.layers[-1]
+    size = model.data_shape[1]
+
+    rng = numpy.random.RandomState(1234)       # held-out seed
+    detections = []
+    for _ in range(args.batches):
+        xs, metas = make_batch(rng, model.batch_size, size, model.class_num)
+        detections += detect_layer.get_detections(
+            model, xs, metas, {"prThreshold": args.pr_threshold,
+                               "nmsThreshold": args.nms_threshold})
+
+    inv = {v: k for k, v in model.class_labels.items()}
+    mean_ap = pascal_voc.get_precision(detections, 0.5,
+                                       class_num=model.class_num,
+                                       class_labels_inv=inv)
+    print("held-out synthetic mAP@0.5 = %.4f over %d images" % (
+        mean_ap, args.batches * model.batch_size), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -332,3 +332,42 @@ def test_s2d_stem_uint8_deferred_decode_bitwise(monkeypatch):
                  weight_init=["he-forward"])
     decoded = model2.prep_input(jnp.asarray(x_u8), Ctx(train=False))
     assert decoded.dtype == jnp.float32
+
+
+def test_inference_params_precast_is_bitwise_identical():
+    """Model.inference_params casts only conv/deconv "weight" leaves to the
+    compute dtype; forward outputs are bitwise-identical (the conv sees the
+    same bf16 operand either way) and BN leaves stay f32."""
+    from denet_tpu.core.model import Model
+    from denet_tpu.layers.base import Ctx
+
+    numpy.random.seed(31)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    model.build(["C.B[8,3]", "BN", "A", "DC[4,3,2]", "R"], (3, 16, 16),
+                border_mode="half", weight_init=["he-forward"])
+    model.compute_dtype = jnp.bfloat16
+
+    x = numpy.random.RandomState(3).uniform(
+        0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+    ctx = lambda: Ctx(train=False, compute_dtype=model.compute_dtype)  # noqa: E731
+    out0, _ = model.forward(model.params, model.state, jnp.asarray(x), ctx())
+    pi = model.inference_params()
+    out1, _ = model.forward(pi, model.state, jnp.asarray(x), ctx())
+    last = len(model.layers) - 1
+    assert numpy.array_equal(numpy.asarray(out0[last]),
+                             numpy.asarray(out1[last]))
+    # conv + deconv weights cast, BN gamma untouched, biases untouched
+    assert pi[1]["weight"].dtype == jnp.bfloat16
+    assert pi[4]["weight"].dtype == jnp.bfloat16
+    assert pi[1]["bias"].dtype == jnp.float32
+    assert pi[2]["gamma"].dtype == jnp.float32
+    # cache hit on unchanged params; rebuilt when params object changes
+    assert model.inference_params() is pi
+    model.params = list(model.params)
+    assert model.inference_params() is not pi
+    # no compute dtype -> passthrough
+    model.compute_dtype = None
+    assert model.inference_params() is model.params

@@ -481,7 +481,7 @@ class Model:
                 return outputs[len(self.layers) - 1]
 
             self._predict_fn = _keepalive(jax.jit(predict))
-        return numpy.asarray(self._predict_fn(self.params, self.state,
+        return numpy.asarray(self._predict_fn(self.inference_params(), self.state,
                                               jnp.asarray(data_x)))
 
     def predict_output(self, dataset):

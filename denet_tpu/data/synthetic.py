@@ -9,8 +9,19 @@ import numpy
 
 
 def class_color(cls):
-    """Deterministic distinct-ish palette over many classes."""
-    return [0.15 + 0.8 * ((cls * 37 + c * 61) % 97) / 97.0 for c in range(3)]
+    """Deterministic well-separated palette: a base-5 RGB grid (125 cells).
+
+    Min per-channel gap is 0.175, far above the per-box color jitter
+    (+-0.05) and uint8 quantization, so every class pair stays separable.
+    (The previous hash palette spaced adjacent classes ~0.008/channel --
+    below the jitter -- making the 80-way task near-unlearnable: held-out
+    class-correct coverage plateaued at ~58% at any training length.)
+    The 47 multiplier is coprime to 125, so cells are distinct for
+    class_num <= 125; values start at 0.25, above the 0-0.2 background
+    noise band even after jitter.
+    """
+    cell = (cls * 47) % 125
+    return [0.25 + 0.175 * ((cell // 5 ** c) % 5) for c in range(3)]
 
 
 def make_sample(rng, size, class_num, max_boxes=5):

@@ -47,12 +47,25 @@ def main(argv=None):
             model, xs, metas, {"prThreshold": args.pr_threshold,
                                "nmsThreshold": args.nms_threshold})
 
+    # coverage: fraction of gt boxes matched by a class-correct detection
+    # at IoU>0.5 (the reference's own logged training metric)
+    from denet_tpu.utils import overlap_iou
+    hits = tot = 0
+    for r in detections:
+        for cls_a, bb_a in zip(r["meta"]["class"], r["meta"]["bbox"]):
+            tot += 1
+            if any(cls_b == cls_a and overlap_iou(bb_a, bb_b) > 0.5
+                   for _pr, cls_b, bb_b in r["detections"]):
+                hits += 1
+
     inv = {v: k for k, v in model.class_labels.items()}
     mean_ap = pascal_voc.get_precision(detections, 0.5,
                                        class_num=model.class_num,
                                        class_labels_inv=inv)
-    print("held-out synthetic mAP@0.5 = %.4f over %d images" % (
-        mean_ap, args.batches * model.batch_size), flush=True)
+    print("held-out synthetic mAP@0.5 = %.4f, class-correct coverage "
+          "%d/%d (%.1f%%) over %d images" % (
+              mean_ap, hits, tot, 100.0 * hits / max(1, tot),
+              args.batches * model.batch_size), flush=True)
     return 0
 
 

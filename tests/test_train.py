@@ -263,3 +263,38 @@ def test_no_remat_matches_remat():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         assert numpy.array_equal(numpy.asarray(a), numpy.asarray(b))
+
+
+def test_pipelined_epoch_block_reads_match_per_step_reads():
+    """cost_read_interval>1 reads cost scalars in stacked blocks; the epoch
+    total and the trained parameters must be identical to interval=1 (the
+    read cadence is an IO optimization, not a semantic change)."""
+    def build():
+        numpy.random.seed(21)
+        model = Model()
+        model.batch_size = 4
+        model.class_num = 2
+        model.class_labels = {"0": 0, "1": 1}
+        model.build(["C[4,3]", "BN", "A", "P[2]", "R"], (1, 8, 8),
+                    border_mode="half", weight_init=["he-forward"])
+        return model
+
+    x = numpy.random.RandomState(5).uniform(
+        0, 1, (12, 1, 8, 8)).astype(numpy.float32)
+    labels = numpy.arange(12) % 2
+    data = FakeDataset(x, labels)
+
+    totals, finals = [], []
+    for interval in (1, 4):
+        model = build()
+        trainer = Trainer(model, solver_mode="nesterov", seed=3,
+                          pipeline_targets=True,
+                          cost_read_interval=interval)
+        total = 0.0
+        for epoch in range(2):
+            total += trainer.train_epoch(data, epoch, 0.05,
+                                         momentum=[0.9, 0.999])
+        totals.append(total)
+        finals.append(numpy.asarray(model.params[1]["weight"]))
+    assert abs(totals[0] - totals[1]) < 1e-5, totals
+    assert numpy.array_equal(finals[0], finals[1])

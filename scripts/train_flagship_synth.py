@@ -39,9 +39,15 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--class-num", type=int, default=80)
+    p.add_argument("--data-mode", choices=("device", "pool"),
+                   default="device",
+                   help="device: host draws box geometry only and the image "
+                        "is rasterized on-device inside jit (fresh data "
+                        "every step — a fixed pool is memorized by the 32M-"
+                        "param flagship); pool: legacy HBM-staged batches")
     p.add_argument("--pool", type=int, default=144,
-                   help="HBM-staged batch pool size (cycled; uint8 batches "
-                        "so 4x more variety fits than f32)")
+                   help="HBM-staged batch pool size for --data-mode pool "
+                        "(cycled; uint8 batches so 4x more variety than f32)")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--out", default="models/denet34_skip_synth512.mdl.gz")
     p.add_argument("--init-model", default=None,
@@ -70,15 +76,38 @@ def main(argv=None):
                       pipeline_targets=True, device_targets=True)
 
     rng = numpy.random.RandomState(args.data_seed)
-    print("staging %d uint8 batches in HBM..." % args.pool, flush=True)
-    # uint8 staging: 6MB/batch instead of 25MB -> 4x the data variety in
-    # HBM (the 80-way classifier needs class coverage, ~50+ boxes/class);
-    # the stem decodes u8 on device (Model.prep_input deferred decode)
-    pool = []
-    for _ in range(args.pool):
-        xs, metas = make_uint8_batch(rng, args.batch, args.size,
-                                     args.class_num)
-        pool.append((jnp.asarray(xs), metas))
+    if args.data_mode == "device":
+        # fresh data every step: host draws geometry (numpy, ~us), the
+        # device rasterizes inside jit (data/synthetic_device.py) — no
+        # uploads, no pool-capacity ceiling, no memorization
+        import jax
+
+        from denet_tpu.data.synthetic_device import (build_renderer,
+                                                     make_gt_batch)
+        assert model.get_targets(None, [{"bbox": [(0.1, 0.1, 0.2, 0.2)],
+                                         "class": [0]}] * args.batch,
+                                 device_targets=True) == [], \
+            "device data mode requires fully device-built targets"
+        renderer = build_renderer(args.batch, args.size, args.class_num)
+        data_key = jax.random.PRNGKey(args.data_seed)
+
+        def gen_batch():
+            metas, boxes, classes, counts = make_gt_batch(
+                rng, args.batch, args.size, args.class_num)
+            return metas, (jnp.asarray(boxes), jnp.asarray(classes),
+                           jnp.asarray(counts))
+
+        pool = None
+    else:
+        print("staging %d uint8 batches in HBM..." % args.pool, flush=True)
+        # uint8 staging: 6MB/batch instead of 25MB -> 4x the data variety in
+        # HBM (the 80-way classifier needs class coverage, ~50+ boxes/class);
+        # the stem decodes u8 on device (Model.prep_input deferred decode)
+        pool = []
+        for _ in range(args.pool):
+            xs, metas = make_uint8_batch(rng, args.batch, args.size,
+                                         args.class_num)
+            pool.append((jnp.asarray(xs), metas))
 
     # hold lr, then 2 decade drops near the end (the classifier needs the
     # high-lr phase; the first cut only lands at 70%)
@@ -92,14 +121,26 @@ def main(argv=None):
     K = trainer.cost_read_interval
     t0 = time.time()
     pending = []
-    prep = trainer.prepare_targets(*pool[0])
+    if pool is None:
+        metas, geo = gen_batch()
+        prep = trainer.prepare_targets(None, metas)
+    else:
+        prep = trainer.prepare_targets(*pool[0])
     for it in range(args.steps):
-        x_dev, metas = pool[it % args.pool]
+        if pool is None:
+            data_key, sub = jax.random.split(data_key)
+            x_dev = renderer(sub, *geo)
+        else:
+            x_dev, metas = pool[it % args.pool]
         fut = trainer.train_step(x_dev, metas, 0, it, lr_at(it),
                                  [0.9, 0.999], 1e-4, prepared=prep,
                                  block=False)
-        nxt = pool[(it + 1) % args.pool]
-        prep = trainer.prepare_targets(nxt[0], nxt[1])
+        if pool is None:
+            metas, geo = gen_batch()
+            prep = trainer.prepare_targets(None, metas)
+        else:
+            nxt = pool[(it + 1) % args.pool]
+            prep = trainer.prepare_targets(nxt[0], nxt[1])
         pending.append(fut[0])
         if len(pending) >= K:
             vals = numpy.asarray(jnp.stack(pending))

@@ -264,3 +264,53 @@ def test_imagenet_localization_error():
     assert get_localization_error([low_iou]) == 100.0
     assert get_localization_error([beyond5]) == 100.0
     assert get_localization_error([hit, wrong_cls]) == 50.0
+
+
+def test_device_renderer_matches_host_semantics():
+    """On-device synthetic rasterizer (synthetic_device.build_renderer):
+    painted boxes are flat palette+jitter fills (later box wins), padded
+    slots are ignored, background stays in the U(0,0.2) band — the same
+    semantics as synthetic.make_uint8_batch's host painter."""
+    import jax
+
+    from denet_tpu.data.synthetic import class_color
+    from denet_tpu.data.synthetic_device import build_renderer, make_gt_batch
+
+    rng = numpy.random.RandomState(0)
+    metas, boxes, classes, counts = make_gt_batch(rng, 4, 64, 80)
+    assert len(metas) == 4 and boxes.shape == (4, 5, 4)
+    for b in range(4):
+        n = int(counts[b])
+        assert metas[b]["bbox"][n - 1][2] == boxes[b, n - 1, 2] / 64.0
+
+    render = build_renderer(4, 64, 80)
+    img = numpy.asarray(render(jax.random.PRNGKey(1), boxes, classes,
+                               counts))
+    assert img.shape == (4, 3, 64, 64) and img.dtype == numpy.uint8
+    checked = 0
+    for b in range(4):
+        n = int(counts[b])
+        for k in range(n):
+            x0, y0, x1, y1 = boxes[b, k]
+            vis = numpy.ones((y1 - y0, x1 - x0), bool)
+            for j in range(k + 1, n):     # later boxes paint over box k
+                a0, b0, a1, b1 = boxes[b, j]
+                ix0, iy0 = max(x0, a0), max(y0, b0)
+                ix1, iy1 = min(x1, a1), min(y1, b1)
+                if ix1 > ix0 and iy1 > iy0:
+                    vis[iy0 - y0:iy1 - y0, ix0 - x0:ix1 - x0] = False
+            if not vis.any():
+                continue
+            col = class_color(int(classes[b, k]))
+            for c in range(3):
+                vals = img[b, c, y0:y1, x0:x1][vis]
+                # one scalar color per (box, channel): exact flat fill
+                assert vals.max() == vals.min()
+                assert abs(vals[0] / 255.0 - col[c]) <= 0.0502
+            checked += 1
+    assert checked >= 4
+
+    # counts=0 disables every slot: pure background, trunc(255*U(0,0.2))<=51
+    img0 = numpy.asarray(render(jax.random.PRNGKey(2), boxes, classes,
+                                numpy.zeros((4,), numpy.int32)))
+    assert img0.max() <= 51

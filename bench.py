@@ -155,9 +155,29 @@ def main():
     if not model_file:
         calibrate_corner_bias_device(model, staged[0])
 
-    # compile the fused pipeline and the result-drain stacker up front
-    fn = _keepalive(model.build_full_detect_fn(
-        detect_layer, 0.01, 0.5, corner_k=256, top_m=128, top_n=100))
+    # compile the fused pipeline and the result-drain stacker up front.
+    # DENET_BENCH_INT8=1 serves through the int8 PTQ trunk (serve/quant.py):
+    # int8 activations halve the HBM bytes of the bandwidth-bound trunk and
+    # run the MXU at its 2x int8 rate; mAP cost measured by
+    # scripts/eval_flagship_synth.py --int8
+    use_int8 = os.environ.get("DENET_BENCH_INT8", "0") == "1"
+    if use_int8:
+        from denet_tpu.data.synthetic import make_uint8_batch
+        from denet_tpu.serve import quant as quant_mod
+
+        crng = numpy.random.RandomState(77)
+        calib = [make_uint8_batch(crng, batch, size, model.class_num)[0]
+                 for _ in range(4)]
+        plan, qparams = quant_mod.quantize(model, calib)
+        qfn = quant_mod.build_quant_detect_fn(
+            model, detect_layer, plan, 0.01, 0.5, corner_k=256, top_m=128,
+            top_n=100)
+
+        def fn(p, s, x):
+            return qfn(qparams, p, s, x)
+    else:
+        fn = _keepalive(model.build_full_detect_fn(
+            detect_layer, 0.01, 0.5, corner_k=256, top_m=128, top_n=100))
     iters = int(os.environ.get("DENET_BENCH_ITERS", 40))
 
     def drain(dets_list, counts_list):

@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--model", default="models/denet34_skip_synth512.mdl.gz")
     p.add_argument("--pr-threshold", type=float, default=0.05)
     p.add_argument("--nms-threshold", type=float, default=0.5)
+    p.add_argument("--int8", action="store_true",
+                   help="serve through the int8 PTQ trunk "
+                        "(denet_tpu/serve/quant.py); reports the mAP cost "
+                        "of quantization vs the bf16 path")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -41,11 +45,35 @@ def main(argv=None):
 
     rng = numpy.random.RandomState(1234)       # held-out seed
     detections = []
-    for _ in range(args.batches):
-        xs, metas = make_batch(rng, model.batch_size, size, model.class_num)
-        detections += detect_layer.get_detections(
-            model, xs, metas, {"prThreshold": args.pr_threshold,
-                               "nmsThreshold": args.nms_threshold})
+    if args.int8:
+        from denet_tpu.data.synthetic import make_uint8_batch
+        from denet_tpu.ops.nms_device import dets_to_lists
+        from denet_tpu.serve import quant as quant_mod
+
+        crng = numpy.random.RandomState(77)    # calibration != eval seed
+        calib = [make_uint8_batch(crng, model.batch_size, size,
+                                  model.class_num)[0] for _ in range(4)]
+        plan, qparams = quant_mod.quantize(model, calib)
+        fn = quant_mod.build_quant_detect_fn(
+            model, detect_layer, plan, args.pr_threshold,
+            args.nms_threshold)
+        params = model.inference_params()
+        for _ in range(args.batches):
+            # same rng stream as make_batch -> identical held-out scenes
+            xs_u8, metas = make_uint8_batch(rng, model.batch_size, size,
+                                            model.class_num)
+            dets, counts = fn(qparams, params, model.state,
+                              jnp.asarray(xs_u8))
+            for meta, lst in zip(metas, dets_to_lists(numpy.asarray(dets),
+                                                      numpy.asarray(counts))):
+                detections.append({"meta": meta, "detections": lst})
+    else:
+        for _ in range(args.batches):
+            xs, metas = make_batch(rng, model.batch_size, size,
+                                   model.class_num)
+            detections += detect_layer.get_detections(
+                model, xs, metas, {"prThreshold": args.pr_threshold,
+                                   "nmsThreshold": args.nms_threshold})
 
     # coverage: fraction of gt boxes matched by a class-correct detection
     # at IoU>0.5 (the reference's own logged training metric)

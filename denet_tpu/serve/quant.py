@@ -122,7 +122,7 @@ def _amax(x):
     return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
-def build_calib_fn(model, ops, end):
+def build_calib_fn(model, ops, end, in_index=None):
     """Jitted f32 forward over the region returning the activation amax at
     every quantization point (keys are stable per-op strings)."""
 
@@ -133,6 +133,8 @@ def build_calib_fn(model, ops, end):
             y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
             outputs[i] = y
         res = {}
+        if in_index is not None:
+            res["region_in"] = _amax(outputs[in_index])
         for k, op in enumerate(ops):
             if op["kind"] == "conv":
                 res["op%d" % k] = _amax(outputs[op["out"]])
@@ -175,7 +177,18 @@ def _quant_weight(w):
     return w_q, sw
 
 
-def _pack_conv(conv_layer, conv_params, a, b, s_in, zp, s_out):
+def _s2d_weight(w):
+    """Space-to-depth-2 weight scatter for the 7x7/s2 stem (identical math
+    to ConvLayer._s2d_stem, numpy): (O,C,7,7) -> (O,C*4,4,4); the conv then
+    runs stride-1 with block-space padding (2,1)x(2,1) on S2D'd input."""
+    o, c = w.shape[:2]
+    wp = numpy.pad(w, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    wp = wp.reshape(o, c, 4, 2, 4, 2)
+    return numpy.ascontiguousarray(
+        wp.transpose(0, 1, 3, 5, 2, 4)).reshape(o, c * 4, 4, 4)
+
+
+def _pack_conv(conv_layer, conv_params, a, b, s_in, zp, s_out, s2d=False):
     """One quantized conv stage: returns arrays + static geometry.
 
     y_f32 = A[c] * conv_i32(x_q, w_q) + B[c]   equals
@@ -184,6 +197,8 @@ def _pack_conv(conv_layer, conv_params, a, b, s_in, zp, s_out):
     """
     # ConvLayer.apply flips the kernel (Theano true-conv); bake the flip in
     w = numpy.asarray(conv_params["weight"], numpy.float32)[:, :, ::-1, ::-1]
+    if s2d:
+        w = _s2d_weight(w)
     w_q, sw = _quant_weight(w)
     bias = (numpy.asarray(conv_params["bias"], numpy.float32)
             if conv_layer.use_bias else 0.0)
@@ -192,27 +207,47 @@ def _pack_conv(conv_layer, conv_params, a, b, s_in, zp, s_out):
     if s_out is not None:
         A = A / s_out
         B = B / s_out
+    if s2d:
+        geo = {"stride": (1, 1), "pad": ((2, 1), (2, 1)), "zp": float(zp),
+               "s2d": True}
+    else:
+        geo = {"stride": tuple(conv_layer.stride),
+               "pad": conv_padding(conv_layer.filter_shape,
+                                   conv_layer.border_mode),
+               # zp != 0 (the uint8 input conv): the spatial padding must
+               # hold the zero-point CODE (-zp), not int8 0 — otherwise the
+               # folded zp*sum(w_q) bias correction over-counts at image
+               # borders.  The executor pads explicitly with -zp and runs
+               # the conv unpadded.
+               "zp": float(zp)}
     return {"wq": jnp.asarray(w_q),
             "A": jnp.asarray(A.astype(numpy.float32)),
-            "B": jnp.asarray(B.astype(numpy.float32))}, \
-        {"stride": tuple(conv_layer.stride),
-         "pad": conv_padding(conv_layer.filter_shape, conv_layer.border_mode),
-         # zp != 0 (the uint8 input conv): the spatial padding must hold the
-         # zero-point CODE (-zp), not int8 0 — otherwise the folded
-         # zp*sum(w_q) bias correction over-counts at image borders.  The
-         # executor pads explicitly with -zp and runs the conv unpadded.
-         "zp": float(zp)}
+            "B": jnp.asarray(B.astype(numpy.float32))}, geo
 
 
-def quantize(model, calib_batches):
+def quantize(model, calib_batches, start="auto"):
     """Calibrate + pack.  Returns (plan, qparams).
 
     ``plan`` is static (kinds/geometry/scales locations); ``qparams`` is the
     pytree of device arrays passed to the jitted executor.
     ``calib_batches``: iterable of uint8 (B,3,H,W) arrays (the serving
-    input format)."""
+    input format).
+
+    ``start``: "auto" (default) keeps the stem conv + max-pool prefix in
+    bf16 and quantizes from the first residual block — measured on v5e, the
+    small-channel int8 stem conv and the 256^2 int8 max-pool are SLOWER
+    than the optimized bf16 S2D stem (3.4-6.9 ms vs 2.2 ms) while the int8
+    residual groups win 1.66x (PERF.md round 2).  "stem" quantizes the
+    whole region including the uint8 input conv."""
     ops, end, taps = plan_region(model)
-    calib_fn = build_calib_fn(model, ops, end)
+    start_index = 1
+    if start == "auto":
+        while ops and ops[0]["kind"] in ("conv", "pool"):
+            ops = ops[1:]
+        assert ops and ops[0]["kind"] == "block", "no quantizable blocks"
+        start_index = ops[0]["out"]       # first block's layer index
+    in_index = None if start_index == 1 else start_index - 1
+    calib_fn = build_calib_fn(model, ops, end, in_index=in_index)
     model.ensure_on_device()
     amax = None
     for xb in calib_batches:
@@ -225,18 +260,34 @@ def quantize(model, calib_batches):
     params = [jax.device_get(p) if p else p for p in model.params]
     state = [jax.device_get(s) if s else s for s in model.state]
 
-    plan = {"ops": [], "end": end, "taps": list(taps)}
+    plan = {"ops": [], "end": end, "taps": list(taps),
+            "start": start_index}
     qparams = []
-    s_cur = 1.0 / 255.0   # uint8 input scale
-    zp_cur = 128.0        # uint8 input zero point (x_i8 = x_u8 - 128)
+    if in_index is None:
+        plan["in_scale"] = None           # uint8 input (zp-128 codes)
+        s_cur = 1.0 / 255.0
+        zp_cur = 128.0
+    else:
+        # region input is a post-ReLU bf16 activation: quantize once at the
+        # boundary with its calibrated scale
+        s_cur = float(amax["region_in"]) / 127.0
+        zp_cur = 0.0
+        plan["in_scale"] = s_cur
     for k, op in enumerate(ops):
         if op["kind"] == "conv":
             i = op["conv"]
+            l = model.layers[i]
             a, b = _bn_affine(model.layers[op["bn"]], params[op["bn"]],
                               state[op["bn"]])
             s_out = float(amax["op%d" % k]) / 127.0
-            arrs, geo = _pack_conv(model.layers[i], params[i], a, b,
-                                   s_cur, zp_cur, s_out)
+
+            class _Shape:       # shape shim for the S2D predicate
+                shape = tuple(l.input_shape)
+                dtype = None
+            s2d = bool(getattr(l, "_use_s2d_stem", None) and
+                       l._use_s2d_stem(_Shape))
+            arrs, geo = _pack_conv(l, params[i], a, b,
+                                   s_cur, zp_cur, s_out, s2d=s2d)
             plan["ops"].append({"kind": "conv", "geo": geo,
                                 "out": op["out"]})
             qparams.append(arrs)
@@ -318,12 +369,19 @@ def _requant(y_f32):
     return jnp.clip(jnp.round(y_f32), 0.0, 127.0).astype(jnp.int8)
 
 
-def apply_trunk(plan, qparams, x_u8, compute_dtype):
-    """Run the quantized region.  Returns {layer_index: dequantized bf16
-    tensor} for the region end and every skip-src tap (the seed dict for
-    the normal-path tail)."""
+def apply_trunk(plan, qparams, x_in, compute_dtype):
+    """Run the quantized region.  ``x_in`` is the uint8 image when the plan
+    starts at the stem, else the bf16 region-input activation (quantized
+    once at the boundary).  Returns {layer_index: dequantized bf16 tensor}
+    for the region end and every skip-src tap (the seed dict for the
+    normal-path tail)."""
     dt = compute_dtype or jnp.float32
-    x_q = (x_u8.astype(jnp.int16) - 128).astype(jnp.int8)
+    if plan.get("in_scale") is None:
+        x_q = (x_in.astype(jnp.int16) - 128).astype(jnp.int8)
+    else:
+        x_q = jnp.clip(jnp.round(x_in.astype(jnp.float32)
+                                 / plan["in_scale"]),
+                       0.0, 127.0).astype(jnp.int8)
     outs = {}
     pi = 0
     for op in plan["ops"]:
@@ -331,6 +389,14 @@ def apply_trunk(plan, qparams, x_u8, compute_dtype):
             qp = qparams[pi]
             pi += 1
             g = op["geo"]
+            if g.get("s2d"):
+                # S2D-2 transpose on 1-byte codes (same trick as the bf16
+                # stem — ConvLayer._s2d_stem), then a 4x4/s1 conv in block
+                # space; zp padding via _conv_i8
+                b_, c_, h_, w_ = x_q.shape
+                x_q = x_q.reshape(b_, c_, h_ // 2, 2, w_ // 2, 2)
+                x_q = x_q.transpose(0, 1, 3, 5, 2, 4).reshape(
+                    b_, c_ * 4, h_ // 2, w_ // 2)
             x_q = _requant(_affine(_conv_i8(x_q, qp["wq"], g["stride"],
                                             g["pad"], g["zp"]),
                                    qp["A"], qp["B"]))
@@ -342,8 +408,12 @@ def apply_trunk(plan, qparams, x_u8, compute_dtype):
             outs[op["out"]] = (x_q.astype(jnp.float32)
                                * op["scale"]).astype(dt)
         elif op["kind"] == "block":
+            # the residual add runs on int8 CODES at the block-output scale
+            # (both operands pre-divided by s_out when packed): every
+            # materialized tensor between fusions stays 1 byte — an f32 add
+            # would double the epilogue HBM traffic vs the bf16 path
             x_in = x_q
-            y = None
+            y_q = None
             for st in op["stages"]:
                 qp = qparams[pi]
                 pi += 1
@@ -352,17 +422,23 @@ def apply_trunk(plan, qparams, x_u8, compute_dtype):
                                        g["pad"]), qp["A"], qp["B"])
                 if st["requant"]:
                     x_q = _requant(acc)
-                else:
-                    y = acc
+                else:       # signed codes (pre-ReLU values can be negative)
+                    y_q = jnp.clip(jnp.round(acc), -127.0,
+                                   127.0).astype(jnp.int8)
             if op["proj"] is not None:
                 qp = qparams[pi]
                 pi += 1
                 g = op["proj"]["geo"]
-                sc = _affine(_conv_i8(x_in, qp["wq"], g["stride"],
-                                      g["pad"]), qp["A"], qp["B"])
+                acc = _affine(_conv_i8(x_in, qp["wq"], g["stride"],
+                                       g["pad"]), qp["A"], qp["B"])
+                sc_q = jnp.clip(jnp.round(acc), -127.0,
+                                127.0).astype(jnp.int8)
             else:
-                sc = x_in.astype(jnp.float32) * op["id_scale"]
-            x_q = _requant(y + sc)
+                sc_q = jnp.clip(jnp.round(x_in.astype(jnp.float32)
+                                          * op["id_scale"]),
+                                0.0, 127.0).astype(jnp.int8)
+            x_q = jnp.clip(y_q.astype(jnp.int16) + sc_q.astype(jnp.int16),
+                           0, 127).astype(jnp.int8)
     outs[plan["end"]] = (x_q.astype(jnp.float32)
                          * plan["out_scale"]).astype(dt)
     return outs
@@ -384,7 +460,18 @@ def build_quant_detect_fn(model, detect_layer, plan, pr_threshold,
 
     def run(qparams, params, state, x):
         ctx = Ctx(train=False, compute_dtype=model.compute_dtype)
-        outputs = apply_trunk(plan, qparams, x, model.compute_dtype)
+        start = plan.get("start", 1)
+        if start == 1:
+            outputs = apply_trunk(plan, qparams, x, model.compute_dtype)
+        else:
+            # bf16 prefix (stem + pool), then the quantized block region
+            outputs = {0: model.prep_input(x, ctx)}
+            for i in range(1, start):
+                y, _ = model.layers[i].apply(params[i], state[i], outputs,
+                                             ctx)
+                outputs[i] = y
+            outputs.update(apply_trunk(plan, qparams, outputs[start - 1],
+                                       model.compute_dtype))
         for i in range(plan["end"] + 1, corner_index + 1):
             y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
             outputs[i] = y

@@ -90,17 +90,18 @@ def test_plan_region_flagship_structure():
     assert kinds.count("pool") == 1 and kinds.count("tap") == 2
 
 
-def test_quant_trunk_matches_f32_forward():
+@pytest.mark.parametrize("start", ["stem", "auto"])
+def test_quant_trunk_matches_f32_forward(start):
+    """start='stem': whole region incl. the uint8 input conv is int8;
+    start='auto' (production default): bf16 stem + pool, int8 blocks."""
     model = _build_trunk()
     rng = numpy.random.RandomState(0)
     calib = [rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)
              for _ in range(2)]
     _realistic_bn(model, numpy.concatenate(calib))
-    plan, qparams = quant.quantize(model, calib)
+    plan, qparams = quant.quantize(model, calib, start=start)
 
     x = rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)
-    got = quant.apply_trunk(plan, qparams, jnp.asarray(x), jnp.float32)
-
     ctx = Ctx(train=False, compute_dtype=jnp.float32)
     outputs = {0: model.prep_input(jnp.asarray(x), ctx)}
     for i in range(1, plan["end"] + 1):
@@ -108,10 +109,18 @@ def test_quant_trunk_matches_f32_forward():
                                      outputs, ctx)
         outputs[i] = y
 
+    if start == "stem":
+        assert plan["start"] == 1 and plan["in_scale"] is None
+        got = quant.apply_trunk(plan, qparams, jnp.asarray(x), jnp.float32)
+    else:
+        assert plan["start"] == 5 and plan["in_scale"] > 0  # first block
+        got = quant.apply_trunk(plan, qparams, outputs[plan["start"] - 1],
+                                jnp.float32)
+
     ref = numpy.asarray(outputs[plan["end"]])
     q = numpy.asarray(got[plan["end"]])
     assert q.shape == ref.shape
-    # int8 activations through 5 convs: tight correlation, small NRMSE
+    # int8 activations through the region: tight correlation, small NRMSE
     denom = max(1e-6, float(numpy.abs(ref).max()))
     nrmse = float(numpy.sqrt(numpy.mean((q - ref) ** 2))) / denom
     corr = float(numpy.corrcoef(q.ravel(), ref.ravel())[0, 1])

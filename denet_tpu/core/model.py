@@ -372,7 +372,7 @@ class Model:
             dets, det_count = nms_device.nms(
                 outs["det_pr"], outs["fitness"], final_bbox, count,
                 pr_threshold=pr_threshold, nms_threshold=nms_threshold,
-                top_m=top_m, top_n=top_n)
+                top_m=top_m, top_n=top_n, use_soft_nms=use_soft_nms)
             return dets, det_count
 
         return _keepalive(jax.jit(run))

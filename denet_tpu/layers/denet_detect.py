@@ -472,14 +472,32 @@ class DeNetDetectLayer(Layer):
         global detect_time, detect_num
 
         model.ensure_on_device()
+        use_int8 = params.get("useInt8", 0) == 1
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
-               params.get("topM", 128), params.get("topN", 100), use_soft_nms)
+               params.get("topM", 128), params.get("topN", 100), use_soft_nms,
+               use_int8)
         first_detect = key not in self._full_fn
         if first_detect:
-            logging.info("Building fused device detection function")
-            self._full_fn[key] = model.build_full_detect_fn(
-                self, pr_threshold, nms_threshold, corner_k=key[2],
-                top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
+            if use_int8:
+                # int8 PTQ serving (serve/quant.py): self-calibrates on this
+                # first batch, hybrid bf16-stem trunk quantization.  CLI:
+                # model-predict --predict-mode detect --params useInt8=1
+                logging.info("Building int8-quantized detection function")
+                from denet_tpu.serve import quant as quant_mod
+                plan, qparams = quant_mod.quantize(model, [data_x])
+                qfn = quant_mod.build_quant_detect_fn(
+                    model, self, plan, pr_threshold, nms_threshold,
+                    corner_k=key[2], top_m=key[3], top_n=key[4],
+                    use_soft_nms=use_soft_nms)
+
+                def _int8_fn(p, s, x, _qfn=qfn, _qp=qparams):
+                    return _qfn(_qp, p, s, x)
+                self._full_fn[key] = _int8_fn
+            else:
+                logging.info("Building fused device detection function")
+                self._full_fn[key] = model.build_full_detect_fn(
+                    self, pr_threshold, nms_threshold, corner_k=key[2],
+                    top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
 
         timer = common.Timer()
         dets, _det_count = self._full_fn[key](model.inference_params(), model.state,

@@ -447,7 +447,8 @@ def apply_trunk(plan, qparams, x_in, compute_dtype):
 # -- fused quantized detection pipeline --------------------------------------
 
 def build_quant_detect_fn(model, detect_layer, plan, pr_threshold,
-                          nms_threshold, corner_k=256, top_m=128, top_n=100):
+                          nms_threshold, corner_k=256, top_m=128, top_n=100,
+                          use_soft_nms=False):
     """int8-trunk variant of Model.build_full_detect_fn: quantized prefix,
     then the normal bf16 tail (decoder/heads/corner search/NMS) seeded with
     the dequantized taps.  Signature: fn(qparams, params, state, x_u8)."""
@@ -494,7 +495,7 @@ def build_quant_detect_fn(model, detect_layer, plan, pr_threshold,
         dets, det_count = nms_device.nms(
             outs["det_pr"], outs["fitness"], final_bbox, count,
             pr_threshold=pr_threshold, nms_threshold=nms_threshold,
-            top_m=top_m, top_n=top_n)
+            top_m=top_m, top_n=top_n, use_soft_nms=use_soft_nms)
         return dets, det_count
 
     return _keepalive(jax.jit(run))

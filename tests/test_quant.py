@@ -161,3 +161,62 @@ def test_quant_detect_fn_toy_detector():
     counts = numpy.asarray(counts)
     assert dets.shape[0] == 2 and dets.shape[2] == 6
     assert (counts >= 0).all() and (counts <= dets.shape[1]).all()
+
+
+def _toy_quant_detector():
+    import random
+
+    random.seed(21)
+    numpy.random.seed(21)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    model.build(["C.B[8,7,2]", "BN", "A", "P[3,2,1]", "nRSN.O[2,8,3]",
+                 "DNC[16]", "DNS[2,4,0.01,0.1]", "C[16,1]", "BN", "A",
+                 "DND[0.5,1.0,0.0,0.0]"], (3, 64, 64),
+                border_mode="half", weight_init=["he-forward"])
+    return model
+
+
+def test_get_detections_use_int8_param():
+    """useInt8=1 routes the fused device path through the PTQ pipeline
+    (self-calibrated on the first batch) and returns well-formed results."""
+    model = _toy_quant_detector()
+    rng = numpy.random.RandomState(5)
+    x = rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)
+    _realistic_bn(model, x, end=quant.plan_region(model)[1])
+    metas = [{"bbox": [], "class": []} for _ in range(2)]
+    detect_layer = model.layers[-1]
+    res = detect_layer.get_detections(
+        model, x, metas, {"prThreshold": 0.001, "nmsThreshold": 0.5,
+                          "useInt8": 1})
+    assert len(res) == 2
+    for r in res:
+        for pr, cls, bb in r["detections"]:
+            assert 0.0 <= pr <= 1.0
+            assert 0 <= cls < model.class_num
+
+
+def test_full_detect_fn_forwards_soft_nms(monkeypatch):
+    """Regression: build_full_detect_fn accepted use_soft_nms but silently
+    dropped it before the device NMS call."""
+    import denet_tpu.ops.nms_device as nd
+
+    seen = {}
+    orig = nd.nms
+
+    def spy(*a, **k):
+        seen["soft"] = k.get("use_soft_nms")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(nd, "nms", spy)
+    model = _toy_quant_detector()
+    fn = model.build_full_detect_fn(model.layers[-1], 0.01, 0.5,
+                                    corner_k=64, top_m=32, top_n=16,
+                                    use_soft_nms=True)
+    rng = numpy.random.RandomState(1)
+    fn(model.params, model.state,
+       jnp.asarray(rng.randint(0, 256, (2, 3, 64, 64))
+                   .astype(numpy.uint8)))
+    assert seen["soft"] is True

@@ -96,6 +96,11 @@ def main():
     # fwd+grad parity tested) — 6% pipeline win, see PERF.md
     os.environ.setdefault("DENET_TPU_S2D_STEM", "1")
     import jax
+    # honor an explicit JAX_PLATFORMS=cpu (the test-suite smoke) even when
+    # the axon sitecustomize force-registers the TPU backend — otherwise the
+    # smoke run silently lands on (and can hang behind) the remote chip
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import denet_tpu.utils.logging as logging

@@ -591,8 +591,11 @@ class DeNetDetectLayer(Layer):
             return results
 
         model.ensure_on_device()
+        # same cache key layout as _get_detections_device (int8 flag last;
+        # the batched path always uses the bf16 pipeline)
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
-               params.get("topM", 128), params.get("topN", 100), use_soft_nms)
+               params.get("topM", 128), params.get("topN", 100), use_soft_nms,
+               False)
         if key not in self._full_fn:
             logging.info("Building fused device detection function")
             self._full_fn[key] = model.build_full_detect_fn(

@@ -411,6 +411,12 @@ class DeNetDetectLayer(Layer):
         # fully-on-device fast path (incl. device soft-NMS); corner-clustering
         # (v2) models round-trip the host only for the greedy clustering
         use_device = params.get("useDevicePipeline", 1) == 1
+        if params.get("useInt8", 0) == 1 and not (
+                use_device and self.sparse_layer.nms_threshold >= 1.0):
+            raise ValueError(
+                "useInt8=1 requires the fused device pipeline "
+                "(useDevicePipeline=1 and a non-clustering model); it would "
+                "otherwise be silently ignored")
         if use_device and self.sparse_layer.nms_threshold >= 1.0:
             return self._get_detections_device(model, data_x, data_m,
                                                pr_threshold, nms_threshold,
@@ -476,12 +482,17 @@ class DeNetDetectLayer(Layer):
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
                use_int8)
-        first_detect = key not in self._full_fn
-        if first_detect:
-            if use_int8:
-                # int8 PTQ serving (serve/quant.py): self-calibrates on this
-                # first batch, hybrid bf16-stem trunk quantization.  CLI:
-                # model-predict --predict-mode detect --params useInt8=1
+        if use_int8:
+            # int8 PTQ serving (serve/quant.py): self-calibrates on the
+            # first batch, hybrid bf16-stem trunk quantization.  CLI:
+            # model-predict --predict-mode detect --params useInt8=1.
+            # The quantized weights are baked from model.params at build
+            # time, so the cache is invalidated whenever the params object
+            # changes (continued training / checkpoint reload) — otherwise
+            # a stale int8 trunk would silently pair with fresh bf16 heads.
+            cached = self._full_fn.get(key)
+            first_detect = cached is None or cached[0] is not model.params
+            if first_detect:
                 logging.info("Building int8-quantized detection function")
                 from denet_tpu.serve import quant as quant_mod
                 plan, qparams = quant_mod.quantize(model, [data_x])
@@ -492,16 +503,20 @@ class DeNetDetectLayer(Layer):
 
                 def _int8_fn(p, s, x, _qfn=qfn, _qp=qparams):
                     return _qfn(_qp, p, s, x)
-                self._full_fn[key] = _int8_fn
-            else:
+                self._full_fn[key] = (model.params, _int8_fn)
+            fn = self._full_fn[key][1]
+        else:
+            first_detect = key not in self._full_fn
+            if first_detect:
                 logging.info("Building fused device detection function")
                 self._full_fn[key] = model.build_full_detect_fn(
                     self, pr_threshold, nms_threshold, corner_k=key[2],
                     top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
+            fn = self._full_fn[key]
 
         timer = common.Timer()
-        dets, _det_count = self._full_fn[key](model.inference_params(), model.state,
-                                              jnp.asarray(data_x))
+        dets, _det_count = fn(model.inference_params(), model.state,
+                              jnp.asarray(data_x))
         detlists = nms_device.dets_to_lists(dets)   # one host transfer
         timer.mark()
 
@@ -582,6 +597,9 @@ class DeNetDetectLayer(Layer):
         pr_threshold = params.get("prThreshold", 0.01)
         nms_threshold = params.get("nmsThreshold", 0.5)
         use_soft_nms = params.get("useSoftNMS", 0) == 1
+        if params.get("useInt8", 0) == 1:
+            raise ValueError("useInt8 is not supported by the batched "
+                             "detection path; use get_detections")
         use_device = (params.get("useDevicePipeline", 1) == 1 and
                       self.sparse_layer.nms_threshold >= 1.0)
         if not use_device:

@@ -21,8 +21,11 @@ with:
   bias via 128 * sum(w_q),
 * max-pool running natively on int8 codes (max commutes with the
   monotonic quantization map),
-* residual adds evaluated in f32 inside the conv epilogue fusion, then
-  requantized — HBM traffic between fusions stays int8.
+* residual adds on int8 CODES at the block-output scale (each addend is
+  independently rounded/saturated to +-127 first) — every tensor
+  materialized between fusions stays 1 byte; the extra addend-saturation
+  error vs an f32 add is bounded by one code per operand and measured
+  at <0.002 mAP on the flagship.
 
 Everything after the quantized prefix (decoder convs, skip joins, corner /
 detect heads, corner search, NMS) runs in the normal bf16 path; skip-src
@@ -242,10 +245,20 @@ def quantize(model, calib_batches, start="auto"):
     ops, end, taps = plan_region(model)
     start_index = 1
     if start == "auto":
-        while ops and ops[0]["kind"] in ("conv", "pool"):
-            ops = ops[1:]
-        assert ops and ops[0]["kind"] == "block", "no quantizable blocks"
-        start_index = ops[0]["out"]       # first block's layer index
+        # strip the stem conv/pool prefix (and any taps in it — the bf16
+        # prefix loop still computes those skip-src outputs); if the model
+        # has no residual blocks at all, fall back to quantizing the full
+        # region from the stem rather than failing
+        stripped = list(ops)
+        while stripped and stripped[0]["kind"] in ("conv", "pool", "tap"):
+            stripped = stripped[1:]
+        if stripped and stripped[0]["kind"] == "block":
+            dropped = ops[:len(ops) - len(stripped)]
+            taps = [t for t in taps
+                    if t not in [o["out"] for o in dropped
+                                 if o["kind"] == "tap"]]
+            ops = stripped
+            start_index = ops[0]["out"]   # first block's layer index
     in_index = None if start_index == 1 else start_index - 1
     calib_fn = build_calib_fn(model, ops, end, in_index=in_index)
     model.ensure_on_device()

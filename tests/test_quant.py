@@ -133,18 +133,7 @@ def test_quant_trunk_matches_f32_forward(start):
 def test_quant_detect_fn_toy_detector():
     """Fused quantized detection pipeline returns well-formed detections
     on a toy detector with a quantizable (stem + resnet) trunk."""
-    import random
-
-    random.seed(21)
-    numpy.random.seed(21)
-    model = Model()
-    model.batch_size = 2
-    model.class_num = 3
-    model.class_labels = {str(i): i for i in range(3)}
-    model.build(["C.B[8,7,2]", "BN", "A", "P[3,2,1]", "nRSN.O[2,8,3]",
-                 "DNC[16]", "DNS[2,4,0.01,0.1]", "C[16,1]", "BN", "A",
-                 "DND[0.5,1.0,0.0,0.0]"], (3, 64, 64),
-                border_mode="half", weight_init=["he-forward"])
+    model = _toy_quant_detector()
     rng = numpy.random.RandomState(5)
     calib = [rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)]
     _realistic_bn(model, calib[0], end=quant.plan_region(model)[1])
@@ -220,3 +209,40 @@ def test_full_detect_fn_forwards_soft_nms(monkeypatch):
        jnp.asarray(rng.randint(0, 256, (2, 3, 64, 64))
                    .astype(numpy.uint8)))
     assert seen["soft"] is True
+
+
+def test_quant_trunk_bottleneck_blocks():
+    """ResNet-101-style bottleneck blocks (3 convs + projection) quantize
+    through the same generic stage walk."""
+    numpy.random.seed(13)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 4
+    model.class_labels = {str(i): i for i in range(4)}
+    model.build(["C.B[8,7,2]", "BN", "A", "P[3,2,1]", "nRSN.O[2,16,3,1,8]",
+                 "nRSN.O[2,32,3,2,16]"], (3, 64, 64),
+                border_mode="half", weight_init=["he-forward"])
+    rng = numpy.random.RandomState(2)
+    calib = [rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)
+             for _ in range(2)]
+    _realistic_bn(model, numpy.concatenate(calib))
+    plan, qparams = quant.quantize(model, calib)
+    blocks = [o for o in plan["ops"] if o["kind"] == "block"]
+    assert len(blocks) == 4
+    assert all(len(b["stages"]) == 3 for b in blocks)   # bottleneck = 3 convs
+
+    x = rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)
+    ctx = Ctx(train=False, compute_dtype=jnp.float32)
+    outputs = {0: model.prep_input(jnp.asarray(x), ctx)}
+    for i in range(1, plan["end"] + 1):
+        y, _ = model.layers[i].apply(model.params[i], model.state[i],
+                                     outputs, ctx)
+        outputs[i] = y
+    got = quant.apply_trunk(plan, qparams, outputs[plan["start"] - 1],
+                            jnp.float32)
+    ref = numpy.asarray(outputs[plan["end"]])
+    q = numpy.asarray(got[plan["end"]])
+    denom = max(1e-6, float(numpy.abs(ref).max()))
+    nrmse = float(numpy.sqrt(numpy.mean((q - ref) ** 2))) / denom
+    assert nrmse < 0.08, nrmse
+    assert float(numpy.corrcoef(q.ravel(), ref.ravel())[0, 1]) > 0.98

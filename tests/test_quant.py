@@ -246,3 +246,28 @@ def test_quant_trunk_bottleneck_blocks():
     nrmse = float(numpy.sqrt(numpy.mean((q - ref) ** 2))) / denom
     assert nrmse < 0.08, nrmse
     assert float(numpy.corrcoef(q.ravel(), ref.ravel())[0, 1]) > 0.98
+
+
+def test_use_int8_rejected_on_unsupported_paths():
+    """useInt8=1 must raise (not silently fall back to bf16) on the
+    clustered/host paths and the batched API."""
+    model = _toy_quant_detector()
+    detect_layer = model.layers[-1]
+    x = numpy.zeros((2, 3, 64, 64), numpy.uint8)
+    metas = [{"bbox": [], "class": []}] * 2
+
+    with pytest.raises(ValueError):     # host fallback path
+        detect_layer.get_detections(
+            model, x, metas, {"useInt8": 1, "useDevicePipeline": 0})
+
+    with pytest.raises(ValueError):     # batched API
+        detect_layer.get_detections_batched(
+            model, iter([(x, metas)]), {"useInt8": 1})
+
+    # clustered (v2) model: nms_threshold < 1.0
+    detect_layer.sparse_layer.nms_threshold = 0.7
+    try:
+        with pytest.raises(ValueError):
+            detect_layer.get_detections(model, x, metas, {"useInt8": 1})
+    finally:
+        detect_layer.sparse_layer.nms_threshold = 1.0

@@ -185,8 +185,11 @@ def main():
             detect_layer, 0.01, 0.5, corner_k=256, top_m=128, top_n=100))
     iters = int(os.environ.get("DENET_BENCH_ITERS", 40))
 
-    def drain(dets_list, counts_list):
-        return jnp.stack(dets_list), jnp.stack(counts_list)
+    # drain ONLY the detection arrays: dets_to_lists recovers per-image
+    # counts from the +1.0 score sentinel, so the counts transfer (a second
+    # ~10-30ms per-window device->host round trip on this link) is skipped
+    def drain(dets_list):
+        return jnp.stack(dets_list)
 
     drain_fn = _keepalive(jax.jit(drain))
 
@@ -198,9 +201,8 @@ def main():
     # with the first host read — everything stays compiled + cached after
     rs = [fn(params, model.state, staged[i % n_staged])
           for i in range(2)]
-    d, c = drain_fn([r[0] for r in rs] * (iters // 2),
-                    [r[1] for r in rs] * (iters // 2))
-    numpy.asarray(c)   # first d2h read: one-time link transition
+    d = drain_fn([r[0] for r in rs] * (iters // 2))
+    numpy.asarray(d[0, 0, 0])   # first d2h read: one-time link transition
     numpy.asarray(fn(params, model.state, staged[0])[1][0])
 
     # timed: full pipeline per batch, ALL detections materialized on host by
@@ -208,12 +210,10 @@ def main():
     t0 = time.time()
     rs = [fn(params, model.state, staged[i % n_staged])
           for i in range(iters)]
-    dets_dev, counts_dev = drain_fn([r[0] for r in rs], [r[1] for r in rs])
-    dets = numpy.asarray(dets_dev)
-    counts = numpy.asarray(counts_dev)
+    dets = numpy.asarray(drain_fn([r[0] for r in rs]))
     results = []
     for i in range(iters):
-        results += dets_to_lists(dets[i], counts[i])
+        results += dets_to_lists(dets[i])
     dt = time.time() - t0
     assert len(results) == batch * iters
     hz = batch * iters / dt

@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--model", default="models/denet34_skip_synth512.mdl.gz")
     p.add_argument("--pr-threshold", type=float, default=0.05)
     p.add_argument("--nms-threshold", type=float, default=0.5)
+    p.add_argument("--soft-nms", action="store_true",
+                   help="gaussian Soft-NMS on the fused device path")
     p.add_argument("--int8", action="store_true",
                    help="serve through the int8 PTQ trunk "
                         "(denet_tpu/serve/quant.py); reports the mAP cost "
@@ -62,18 +64,19 @@ def main(argv=None):
             # same rng stream as make_batch -> identical held-out scenes
             xs_u8, metas = make_uint8_batch(rng, model.batch_size, size,
                                             model.class_num)
-            dets, counts = fn(qparams, params, model.state,
-                              jnp.asarray(xs_u8))
-            for meta, lst in zip(metas, dets_to_lists(numpy.asarray(dets),
-                                                      numpy.asarray(counts))):
+            dets, _counts = fn(qparams, params, model.state,
+                               jnp.asarray(xs_u8))
+            for meta, lst in zip(metas, dets_to_lists(numpy.asarray(dets))):
                 detections.append({"meta": meta, "detections": lst})
     else:
         for _ in range(args.batches):
             xs, metas = make_batch(rng, model.batch_size, size,
                                    model.class_num)
             detections += detect_layer.get_detections(
-                model, xs, metas, {"prThreshold": args.pr_threshold,
-                                   "nmsThreshold": args.nms_threshold})
+                model, xs, metas,
+                {"prThreshold": args.pr_threshold,
+                 "nmsThreshold": args.nms_threshold,
+                 "useSoftNMS": 1 if args.soft_nms else 0})
 
     # coverage: fraction of gt boxes matched by a class-correct detection
     # at IoU>0.5 (the reference's own logged training metric)

@@ -10,12 +10,16 @@ distributions concentrated on object corners, a dominant null class, and
 calibrated detection scores.
 
 Protocol notes (PERF.md environment gotchas):
-  * a pool of batches is staged in HBM before the first device read so the
-    hot loop never uploads through the degraded post-transition link;
+  * --data-mode device (default): the host draws only box geometry and the
+    device rasterizes each batch inside jit (data/synthetic_device.py) —
+    fresh data every step, zero image uploads, no pool-memorization
+    (a fixed pool is memorized by the 32M-param flagship: held-out mAP
+    stuck at 0.32 vs 0.91 with on-device data);
+  * --data-mode pool: legacy HBM-staged uint8 batch pool;
   * fused device-target training (ops/target_device) — host ships only
     compact gt arrays per step;
-  * one scalar read per step bounds the dispatch queue (deep async queues
-    collapse throughput on this relay).
+  * cost scalars read in stacked blocks (cost_read_interval) to bound the
+    dispatch queue without per-step relay round trips.
 
 Usage:  python scripts/train_flagship_synth.py [--steps 3000] [--out F]
 """

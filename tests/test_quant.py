@@ -271,3 +271,24 @@ def test_use_int8_rejected_on_unsupported_paths():
             detect_layer.get_detections(model, x, metas, {"useInt8": 1})
     finally:
         detect_layer.sparse_layer.nms_threshold = 1.0
+
+
+def test_quant_detect_fn_soft_nms_smoke():
+    """Quantized pipeline with gaussian Soft-NMS compiles and returns
+    well-formed detections (the soft flag must reach the device NMS)."""
+    model = _toy_quant_detector()
+    rng = numpy.random.RandomState(9)
+    calib = [rng.randint(0, 256, (2, 3, 64, 64)).astype(numpy.uint8)]
+    _realistic_bn(model, calib[0], end=quant.plan_region(model)[1])
+    plan, qparams = quant.quantize(model, calib)
+    fn = quant.build_quant_detect_fn(model, model.layers[-1], plan,
+                                     pr_threshold=0.001, nms_threshold=0.5,
+                                     corner_k=64, top_m=32, top_n=16,
+                                     use_soft_nms=True)
+    dets, counts = fn(qparams, model.params, model.state,
+                      jnp.asarray(rng.randint(0, 256, (2, 3, 64, 64))
+                                  .astype(numpy.uint8)))
+    dets = numpy.asarray(dets)
+    assert dets.shape[0] == 2 and dets.shape[2] == 6
+    counts = numpy.asarray(counts)
+    assert (counts >= 0).all() and (counts <= dets.shape[1]).all()

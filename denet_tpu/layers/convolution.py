@@ -122,6 +122,9 @@ class ConvLayer(Layer):
         return y, {}
 
     def _use_s2d_stem(self, x):
+        return self._s2d_eligible(x.shape)
+
+    def _s2d_eligible(self, shape):
         """Space-to-depth rewrite applies to the classic ResNet stem: 7x7
         stride-2 'half' conv on a few input channels with even spatial dims.
         On by default (opt out with DENET_TPU_S2D_STEM=0): the 3-channel
@@ -135,7 +138,7 @@ class ConvLayer(Layer):
         return (os.environ.get("DENET_TPU_S2D_STEM", "1") == "1" and
                 (kh, kw) == (7, 7) and tuple(self.stride) == (2, 2) and
                 self.border_mode == "half" and c <= 4 and
-                x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+                shape[2] % 2 == 0 and shape[3] % 2 == 0)
 
     def _s2d_stem(self, x, wf):
         """y = conv7x7/s2(x, wf) computed in space-to-depth-2 block space.

@@ -34,8 +34,6 @@ intermediates needed by later skip layers are dequantized taps.
 No reference counterpart (the reference serves f32 through cuDNN,
 denet/layer/convolution.py); this is a TPU-native serving addition.
 """
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy
@@ -294,11 +292,8 @@ def quantize(model, calib_batches, start="auto"):
                               state[op["bn"]])
             s_out = float(amax["op%d" % k]) / 127.0
 
-            class _Shape:       # shape shim for the S2D predicate
-                shape = tuple(l.input_shape)
-                dtype = None
-            s2d = bool(getattr(l, "_use_s2d_stem", None) and
-                       l._use_s2d_stem(_Shape))
+            s2d = bool(getattr(l, "_s2d_eligible", None) and
+                       l._s2d_eligible(l.input_shape))
             arrs, geo = _pack_conv(l, params[i], a, b,
                                    s_cur, zp_cur, s_out, s2d=s2d)
             plan["ops"].append({"kind": "conv", "geo": geo,

@@ -193,8 +193,9 @@ def _pack_conv(conv_layer, conv_params, a, b, s_in, zp, s_out, s2d=False):
     """One quantized conv stage: returns arrays + static geometry.
 
     y_f32 = A[c] * conv_i32(x_q, w_q) + B[c]   equals
-    (BN_affine(conv(x, w) + bias)) / s_out  — with x = (x_q + zp) * s_in.
-    When s_out is None the affine is NOT pre-divided (pre-residual stage).
+    (BN_affine(conv(x, w) + bias)) / s_out  — with x = (x_q + zp) * s_in,
+    so every stage's affine output is already in its target code units
+    (the executor only rounds/clamps).
     """
     # ConvLayer.apply flips the kernel (Theano true-conv); bake the flip in
     w = numpy.asarray(conv_params["weight"], numpy.float32)[:, :, ::-1, ::-1]
@@ -205,9 +206,8 @@ def _pack_conv(conv_layer, conv_params, a, b, s_in, zp, s_out, s2d=False):
             if conv_layer.use_bias else 0.0)
     A = a * s_in * sw
     B = A * zp * w_q.reshape(w_q.shape[0], -1).sum(axis=1) + a * bias + b
-    if s_out is not None:
-        A = A / s_out
-        B = B / s_out
+    A = A / s_out
+    B = B / s_out
     if s2d:
         geo = {"stride": (1, 1), "pad": ((2, 1), (2, 1)), "zp": float(zp),
                "s2d": True}

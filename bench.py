@@ -53,6 +53,7 @@ def perturb_heads_host(model):
     b = numpy.array(conv_d["bias"])
     b[dnd.null_class] = 6.0
     conv_d["bias"] = b
+    model.invalidate_cached_params()
 
 
 def calibrate_corner_bias_device(model, x, target_corners=64):
@@ -88,6 +89,7 @@ def calibrate_corner_bias_device(model, x, target_corners=64):
 
     fn = _keepalive(jax.jit(bias_fn))
     conv["bias"] = fn(corner_diff, conv["bias"])
+    model.invalidate_cached_params()
 
 
 def main():

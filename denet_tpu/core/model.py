@@ -67,7 +67,12 @@ class Model:
         # cached jitted functions
         self._predict_fn = None
         self._on_device = False
-        self._inference_params = None   # (params identity, cast copy)
+        # cache of the pre-cast inference param tree, keyed on (params object
+        # identity, mutation version).  In-place mutation of param leaves
+        # (params[i]["weight"] = ...) keeps the identity unchanged, so any
+        # code that mutates leaves MUST call invalidate_cached_params().
+        self._inference_params = None   # (identity, version, cast copy)
+        self._params_version = 0
 
     # -- shapes --------------------------------------------------------------
 
@@ -136,6 +141,18 @@ class Model:
             self.state = jax.tree_util.tree_map(jnp.asarray, self.state)
             self._on_device = True
 
+    def invalidate_cached_params(self):
+        """Drop caches derived from self.params after IN-PLACE leaf mutation.
+
+        Replacing self.params with a new tree is detected automatically (the
+        inference-params cache is identity-keyed); assigning into existing
+        dicts (params[i]["weight"] = ...) is not — call this afterwards or
+        predict/detect paths silently serve stale weights (and
+        ensure_on_device would skip re-uploading the mutated leaves)."""
+        self._params_version += 1
+        self._inference_params = None
+        self._on_device = False
+
     def inference_params(self):
         """Params with conv/deconv "weight" leaves pre-cast to compute_dtype.
 
@@ -150,8 +167,9 @@ class Model:
         if self.compute_dtype is None:
             return self.params
         if self._inference_params is not None and \
-                self._inference_params[0] is self.params:
-            return self._inference_params[1]
+                self._inference_params[0] is self.params and \
+                self._inference_params[1] == self._params_version:
+            return self._inference_params[2]
         dt = self.compute_dtype
 
         def cast(path, leaf):
@@ -163,7 +181,7 @@ class Model:
             return leaf
 
         cast_params = jax.tree_util.tree_map_with_path(cast, self.params)
-        self._inference_params = (self.params, cast_params)
+        self._inference_params = (self.params, self._params_version, cast_params)
         return cast_params
 
     # -- forward -------------------------------------------------------------

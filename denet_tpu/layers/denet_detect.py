@@ -483,19 +483,40 @@ class DeNetDetectLayer(Layer):
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
                use_int8)
         if use_int8:
-            # int8 PTQ serving (serve/quant.py): self-calibrates on the
-            # first batch, hybrid bf16-stem trunk quantization.  CLI:
-            # model-predict --predict-mode detect --params useInt8=1.
+            # int8 PTQ serving (serve/quant.py): self-calibrates activation
+            # scales on the first calibBatches serving batches (default 1),
+            # hybrid bf16-stem trunk quantization.  CLI: model-predict
+            # --predict-mode detect --params useInt8=1,calibBatches=4.
             # The quantized weights are baked from model.params at build
             # time, so the cache is invalidated whenever the params object
             # changes (continued training / checkpoint reload) — otherwise
             # a stale int8 trunk would silently pair with fresh bf16 heads.
+            calib_batches = int(params.get("calibBatches", 1))
             cached = self._full_fn.get(key)
+            if cached is None or cached[0] is not model.params:
+                # amax accumulation window: serve the bf16 path until
+                # calib_batches batches have been seen, then freeze scales
+                # over ALL of them (an unrepresentative first batch would
+                # under-estimate amax and clip every later batch)
+                self._int8_calib = getattr(self, "_int8_calib", [])
+                self._int8_calib.append(numpy.asarray(data_x))
+                if len(self._int8_calib) < calib_batches:
+                    logging.info(
+                        "int8 calibration: batch %d/%d (serving bf16)" % (
+                            len(self._int8_calib), calib_batches))
+                    return self._get_detections_device(
+                        model, data_x, data_m, pr_threshold, nms_threshold,
+                        dict(params, useInt8=0), use_soft_nms)
             first_detect = cached is None or cached[0] is not model.params
             if first_detect:
+                if calib_batches == 1:
+                    logging.info("int8: single-batch activation calibration "
+                                 "in effect (pass calibBatches=N for a "
+                                 "representative amax window)")
                 logging.info("Building int8-quantized detection function")
                 from denet_tpu.serve import quant as quant_mod
-                plan, qparams = quant_mod.quantize(model, [data_x])
+                plan, qparams = quant_mod.quantize(model, self._int8_calib)
+                self._int8_calib = []
                 qfn = quant_mod.build_quant_detect_fn(
                     model, self, plan, pr_threshold, nms_threshold,
                     corner_k=key[2], top_m=key[3], top_n=key[4],

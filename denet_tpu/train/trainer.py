@@ -288,7 +288,16 @@ class Trainer:
                 return
             vals = numpy.asarray(jnp.stack(pending))
             if not numpy.isfinite(vals).all():
-                raise Exception("ERROR: Cost is NaN")
+                # with cost_read_interval>1 the abort trails the bad step by
+                # up to K-1 optimizer updates; report the exact iteration so
+                # callers can checkpoint/rollback accurately (the params are
+                # post-NaN — roll back to the last saved checkpoint)
+                bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
+                bad_it = model.iteration - len(vals) + bad
+                raise Exception(
+                    "ERROR: Cost is NaN (first non-finite at iteration %d; "
+                    "%d further update(s) were already applied)" % (
+                        bad_it, len(vals) - 1 - bad))
             total_cost += float(vals.sum())
             logging.verbose("Batch block ending %i.%i - cost:" % (
                 epoch, model.iteration - first_it - 1), float(vals[-1]))

@@ -157,7 +157,15 @@ def main(argv=None):
                 print("step %5d  cost %.4f  (%.1f img/s)" % (
                     it, float(vals[-1]), args.batch * it / dt), flush=True)
     if pending:
-        print("final cost %.4f" % float(pending[-1]), flush=True)
+        # tail block: same finiteness gate as full K-sized blocks, so a NaN
+        # in the last <K steps can't slip into the saved checkpoint
+        vals = numpy.asarray(jnp.stack(pending))
+        if not numpy.isfinite(vals).all():
+            bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
+            print("ABORT: non-finite cost in final block (step %d)" % (
+                args.steps - len(vals) + bad))
+            return 1
+        print("final cost %.4f" % float(vals[-1]), flush=True)
     print("total %.1fs" % (time.time() - t0), flush=True)
 
     model_mod.save_to_file(model, args.out)

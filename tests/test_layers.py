@@ -368,6 +368,15 @@ def test_inference_params_precast_is_bitwise_identical():
     assert model.inference_params() is pi
     model.params = list(model.params)
     assert model.inference_params() is not pi
+    # in-place leaf mutation keeps the identity -> invalidate_cached_params
+    # must drop the stale cast copy (ADVICE round 2: silent stale weights)
+    pi2 = model.inference_params()
+    model.params[1]["weight"] = numpy.zeros_like(
+        numpy.asarray(model.params[1]["weight"]))
+    model.invalidate_cached_params()
+    pi3 = model.inference_params()
+    assert pi3 is not pi2
+    assert not numpy.asarray(pi3[1]["weight"]).any()
     # no compute dtype -> passthrough
     model.compute_dtype = None
     assert model.inference_params() is model.params

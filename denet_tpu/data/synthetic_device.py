@@ -54,14 +54,46 @@ def make_gt_batch(rng, batch, size, class_num, max_boxes=5):
     return metas, boxes, classes, counts
 
 
-def build_renderer(batch, size, class_num, max_boxes=5):
-    """Jitted uint8 batch rasterizer.
+def make_gt_batch_hard(rng, batch, size, class_num, max_boxes=24):
+    """Hard-distribution geometry (synthetic.hard_geometry: scale extremes,
+    1:4 aspects, crowding, truncation, exact occlusion) for device rendering.
+
+    Returns (metas, boxes_px, classes, counts): the arrays carry EVERY box
+    (painter's order matters for the rasterizer), the metas carry only the
+    visible gt (visible_frac > 0) plus per-gt ``visible_frac`` for
+    occlusion-stratified eval."""
+    from denet_tpu.data.synthetic import hard_geometry
+
+    boxes = numpy.zeros((batch, max_boxes, 4), numpy.int32)
+    classes = numpy.zeros((batch, max_boxes), numpy.int32)
+    counts = numpy.zeros((batch,), numpy.int32)
+    metas = []
+    for b in range(batch):
+        bx, cl, vis = hard_geometry(rng, size, class_num, max_boxes)
+        n = len(bx)
+        counts[b] = n
+        boxes[b, :n] = bx
+        classes[b, :n] = cl
+        keep = vis > 0.0
+        metas.append({"bbox": [(x0 / size, y0 / size, x1 / size, y1 / size)
+                               for x0, y0, x1, y1 in bx[keep].tolist()],
+                      "class": cl[keep].tolist(),
+                      "visible_frac": vis[keep].tolist()})
+    return metas, boxes, classes, counts
+
+
+def make_render_fn(batch, size, class_num, max_boxes=5):
+    """Traceable uint8 batch rasterizer (un-jitted; see build_renderer).
 
     render(key, boxes_px (B,K,4) i32 [x0,y0,x1,y1], classes (B,K) i32,
     counts (B,) i32) -> (B,3,size,size) uint8.  Boxes are painted in index
     order (later boxes overwrite earlier, like the host generator); slots
     k >= counts[b] are ignored.  K selects over the full image are VPU
     noise next to a training step (~40M elementwise ops at K=5, b8, 512^2).
+
+    Returned un-jitted so it can be traced INTO a larger jit — the
+    Trainer's ``input_fn`` fuses it into the train step, removing the
+    separate render dispatch + host key-split of the round-2 protocol.
     """
     palette = jnp.asarray(numpy.array([class_color(c)
                                        for c in range(class_num)],
@@ -87,4 +119,10 @@ def build_renderer(batch, size, class_num, max_boxes=5):
             img = jnp.where(mask[:, None], colors[:, k, :, None, None], img)
         return (img * 255.0).clip(0.0, 255.0).astype(jnp.uint8)
 
-    return _keepalive(jax.jit(render))
+    return render
+
+
+def build_renderer(batch, size, class_num, max_boxes=5):
+    """Jitted standalone rasterizer (see make_render_fn for semantics)."""
+    return _keepalive(jax.jit(make_render_fn(batch, size, class_num,
+                                             max_boxes)))

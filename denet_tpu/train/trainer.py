@@ -25,10 +25,19 @@ class Trainer:
     def __init__(self, model, solver_mode="sgd", cost_factors=None,
                  use_acc_mode=False, seed=None, mesh=None,
                  pipeline_targets=False, use_remat=None,
-                 device_targets=False, gt_cap=128, cost_read_interval=8):
+                 device_targets=False, gt_cap=128, cost_read_interval=8,
+                 input_fn=None):
         self.model = model
         self.solver_mode = solver_mode
         self.use_acc_mode = use_acc_mode
+        # optional traced input transform: x = input_fn(rng, x) INSIDE the
+        # step jit.  Lets a data source ship compact device inputs (e.g. the
+        # synthetic geometry arrays of data/synthetic_device.py) and expand
+        # them to the image batch on device with zero extra dispatches —
+        # fusing the round-2 separate render jit (+ its host key-split) into
+        # the train step closed the measured ~2-dispatch/step overhead of
+        # device-data training (PERF.md round 3)
+        self.input_fn = input_fn
         # device-target mode: sample selection + dense target construction
         # traced into the train step (ops/target_device); the host supplies
         # only compact padded gt arrays.  gt_cap is the static per-image
@@ -87,6 +96,7 @@ class Trainer:
         update_mask = self.update_mask
 
         use_remat = self.use_remat
+        input_fn = self.input_fn
 
         def step(params, slots, state, x, targets, aux, hyper, rng):
             # hyper = f32[6]: (epoch, iteration, lr, momentum0, momentum1,
@@ -97,7 +107,11 @@ class Trainer:
             # training trajectory is bit-identical).
             epoch, iteration, lr = hyper[0], hyper[1], hyper[2]
             momentum, decay = hyper[3:5], hyper[5]
-            rng_next, step_rng = jax.random.split(rng)
+            if input_fn is not None:
+                rng_next, step_rng, data_rng = jax.random.split(rng, 3)
+                x = input_fn(data_rng, x)
+            else:
+                rng_next, step_rng = jax.random.split(rng)
 
             def loss_fn(params):
                 ctx = Ctx(train=True, rng=step_rng, epoch=epoch,
@@ -177,7 +191,9 @@ class Trainer:
         hyper = numpy.array([epoch, it, learning_rate, m[0],
                              m[1] if m.size > 1 else 0.0, decay],
                             dtype=numpy.float32)
-        data_x = jnp.asarray(data_x)
+        # with an input_fn, data_x may be a compact pytree (e.g. geometry
+        # arrays) expanded to the image batch inside the step jit
+        data_x = jax.tree_util.tree_map(jnp.asarray, data_x)
 
         if self.mesh is not None:
             # GSPMD data parallelism: batch-major inputs sharded over the

@@ -57,6 +57,18 @@ def main(argv=None):
     p.add_argument("--init-model", default=None,
                    help="continue training from an existing checkpoint")
     p.add_argument("--data-seed", type=int, default=7)
+    p.add_argument("--dist", choices=("easy", "hard"), default="easy",
+                   help="hard = round-3 graded distribution (scale extremes,"
+                        " 1:4 aspects, crowding, truncation; synthetic.py)")
+    p.add_argument("--dnd", default=None,
+                   help="override the final DND desc token for the v1-vs-v2 "
+                        "feature matrix, e.g. 'DND[0.5,1,0]' (plain), "
+                        "'DND.B[0.5,1,1]' (bounded IoU), 'DND[0.5,1,1,1]' "
+                        "(indfit), 'DND.J[0.5,1,1]' (jointfit)")
+    p.add_argument("--init-trunk", default=None,
+                   help="transplant trunk+corner-head params from a "
+                        "checkpoint whose head config may differ (the final "
+                        "DND head is re-initialized unless identical)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -72,34 +84,70 @@ def main(argv=None):
         model = model_mod.load_from_file(args.init_model,
                                          batch_size=args.batch)
     else:
+        desc = None
+        if args.dnd is not None:
+            from denet_tpu.models import zoo
+            desc = zoo.denet34("skip")
+            assert desc[-1].startswith("DND")
+            desc = desc[:-1] + [args.dnd]
         model = _build_detect_model(args.batch, args.size,
-                                    class_num=args.class_num, variant="skip")
+                                    class_num=args.class_num, variant="skip",
+                                    desc_override=desc)
+    if args.init_trunk:
+        # transplant everything except the (possibly re-shaped) DND head —
+        # the feature-matrix variants share the flagship trunk + corner head
+        src = model_mod.load_from_file(args.init_trunk,
+                                       batch_size=args.batch)
+        assert len(src.layers) == len(model.layers)
+        same_head = (src.layers[-1].export_json(src.params[-1],
+                                                src.state[-1]).keys() ==
+                     model.layers[-1].export_json(model.params[-1],
+                                                  model.state[-1]).keys()
+                     and numpy.shape(src.params[-1]["layers"][1]["weight"]) ==
+                     numpy.shape(model.params[-1]["layers"][1]["weight"]))
+        end = len(model.layers) if same_head else len(model.layers) - 1
+        for i in range(1, end):
+            assert src.layers[i].type_name == model.layers[i].type_name
+            model.params[i] = src.params[i]
+            model.state[i] = src.state[i]
+        print("transplanted layers 1..%d from %s (head %s)" % (
+            end - 1, args.init_trunk,
+            "copied" if same_head else "re-initialized"), flush=True)
+
     model.compute_dtype = jnp.bfloat16
     model.use_split_mode = False   # fits HBM; +28% step (PERF.md)
+
+    max_boxes = 24 if args.dist == "hard" else 5
+    input_fn = None
+    if args.data_mode == "device":
+        from denet_tpu.data.synthetic_device import make_render_fn
+        render = make_render_fn(args.batch, args.size, args.class_num,
+                                max_boxes)
+        input_fn = lambda key, g: render(key, *g)   # noqa: E731
+
     trainer = Trainer(model, solver_mode="nesterov", seed=1,
-                      pipeline_targets=True, device_targets=True)
+                      pipeline_targets=True, device_targets=True,
+                      input_fn=input_fn)
 
     rng = numpy.random.RandomState(args.data_seed)
     if args.data_mode == "device":
-        # fresh data every step: host draws geometry (numpy, ~us), the
-        # device rasterizes inside jit (data/synthetic_device.py) — no
-        # uploads, no pool-capacity ceiling, no memorization
-        import jax
-
-        from denet_tpu.data.synthetic_device import (build_renderer,
-                                                     make_gt_batch)
+        # fresh data every step: host draws geometry (numpy, ~us) and the
+        # device rasterizes INSIDE the train-step jit (Trainer input_fn
+        # tracing data/synthetic_device.make_render_fn) — no image uploads,
+        # no pool memorization, and no extra render dispatch per step
+        from denet_tpu.data.synthetic_device import (make_gt_batch,
+                                                     make_gt_batch_hard)
         assert model.get_targets(None, [{"bbox": [(0.1, 0.1, 0.2, 0.2)],
                                          "class": [0]}] * args.batch,
                                  device_targets=True) == [], \
             "device data mode requires fully device-built targets"
-        renderer = build_renderer(args.batch, args.size, args.class_num)
-        data_key = jax.random.PRNGKey(args.data_seed)
+        gen_gt = (make_gt_batch_hard if args.dist == "hard"
+                  else make_gt_batch)
 
         def gen_batch():
-            metas, boxes, classes, counts = make_gt_batch(
-                rng, args.batch, args.size, args.class_num)
-            return metas, (jnp.asarray(boxes), jnp.asarray(classes),
-                           jnp.asarray(counts))
+            metas, boxes, classes, counts = gen_gt(
+                rng, args.batch, args.size, args.class_num, max_boxes)
+            return metas, (boxes, classes, counts)
 
         pool = None
     else:
@@ -132,8 +180,7 @@ def main(argv=None):
         prep = trainer.prepare_targets(*pool[0])
     for it in range(args.steps):
         if pool is None:
-            data_key, sub = jax.random.split(data_key)
-            x_dev = renderer(sub, *geo)
+            x_dev = geo      # geometry tuple; rendered inside the step jit
         else:
             x_dev, metas = pool[it % args.pool]
         fut = trainer.train_step(x_dev, metas, 0, it, lr_at(it),

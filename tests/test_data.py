@@ -314,3 +314,71 @@ def test_device_renderer_matches_host_semantics():
     img0 = numpy.asarray(render(jax.random.PRNGKey(2), boxes, classes,
                                 numpy.zeros((4,), numpy.int32)))
     assert img0.max() <= 51
+
+
+def test_hard_distribution_properties():
+    """Hard synthetic distribution (round-3 graded benchmark): scale
+    extremes down to 8px sides, aspect ratios to 1:4, a crowded mode,
+    border truncation, and exact painter's-algorithm visibility."""
+    from denet_tpu.data.synthetic import hard_geometry, make_sample_hard
+
+    rng = numpy.random.RandomState(0)
+    size = 256
+    sides, aspects, counts, touching = [], [], [], 0
+    for _ in range(60):
+        boxes, classes, vis = hard_geometry(rng, size, 80)
+        counts.append(len(boxes))
+        assert len(classes) == len(boxes) == len(vis)
+        for x0, y0, x1, y1 in boxes.tolist():
+            w, h = x1 - x0, y1 - y0
+            assert w >= 5 and h >= 5
+            assert 0 <= x0 and x1 <= size and 0 <= y0 and y1 <= size
+            sides += [w, h]
+            aspects.append(w / h)
+            if x0 == 0 or y0 == 0 or x1 == size or y1 == size:
+                touching += 1
+        assert vis.min() >= 0.0 and vis.max() <= 1.0
+
+    sides = numpy.array(sides)
+    assert sides.min() <= 12          # small extreme present
+    assert sides.max() >= 0.8 * size  # near-full-frame present
+    assert max(aspects) >= 3.0 and min(aspects) <= 1.0 / 3.0
+    assert max(counts) >= 16 and min(counts) <= 6   # both modes hit
+    assert touching >= 20             # truncation common
+
+    # exact visibility vs brute-force owner rasterization
+    rng = numpy.random.RandomState(7)
+    boxes, classes, vis = hard_geometry(rng, 128, 10, max_boxes=12)
+    owner = numpy.full((128, 128), -1, numpy.int32)
+    for k, (x0, y0, x1, y1) in enumerate(boxes.tolist()):
+        owner[y0:y1, x0:x1] = k
+    for k, (x0, y0, x1, y1) in enumerate(boxes.tolist()):
+        frac = (owner == k).sum() / ((x1 - x0) * (y1 - y0))
+        assert abs(vis[k] - frac) < 1e-6
+
+    # host sample: fully-hidden boxes dropped, visible_frac carried
+    x, meta = make_sample_hard(numpy.random.RandomState(3), 128, 10)
+    assert x.shape == (3, 128, 128)
+    assert len(meta["bbox"]) == len(meta["class"]) == len(meta["visible_frac"])
+    assert all(v > 0 for v in meta["visible_frac"])
+
+
+def test_hard_gt_batch_device_consistency():
+    """make_gt_batch_hard: geometry arrays carry every painted box; metas
+    carry the visible gt in normalized coords; renderer accepts K=24."""
+    import jax
+
+    from denet_tpu.data.synthetic_device import (build_renderer,
+                                                 make_gt_batch_hard)
+
+    rng = numpy.random.RandomState(5)
+    metas, boxes, classes, counts = make_gt_batch_hard(rng, 2, 64, 10)
+    assert boxes.shape == (2, 24, 4)
+    for b in range(2):
+        assert len(metas[b]["bbox"]) <= int(counts[b])
+        for (nx0, ny0, nx1, ny1) in metas[b]["bbox"]:
+            assert 0.0 <= nx0 < nx1 <= 1.0 and 0.0 <= ny0 < ny1 <= 1.0
+
+    render = build_renderer(2, 64, 10, max_boxes=24)
+    img = numpy.asarray(render(jax.random.PRNGKey(0), boxes, classes, counts))
+    assert img.shape == (2, 3, 64, 64) and img.dtype == numpy.uint8

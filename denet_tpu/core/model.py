@@ -348,15 +348,18 @@ class Model:
 
     def build_full_detect_fn(self, detect_layer, pr_threshold, nms_threshold,
                              corner_k=256, top_m=128, top_n=100,
-                             use_soft_nms=False):
+                             use_soft_nms=False, cluster_cap=6144):
         """ONE jitted function for the whole detection inference step:
-        trunk + corner head -> device corner search -> sparse RoI gather +
-        detect head -> device per-class NMS -> top-N detections.
+        trunk + corner head -> device corner search [-> device corner
+        clustering for v2 models] -> sparse RoI gather + detect head ->
+        device per-class NMS -> top-N detections.
 
         The reference pipeline crossed the host boundary four times per batch
         (corner download, sample upload, det download, NMS) — here the only
         transfers are the image upload and the ~20KB detection list download.
-        Host fallbacks remain for soft-NMS and corner clustering.
+        ``cluster_cap`` bounds the candidates entering device clustering
+        (the N^2 adjacency of ops/cluster_device; the reference's host cap
+        is 10*sample_count, 23040 for the wide config — a 530MB bitmap).
         """
         from denet_tpu.ops import nms_device
         from denet_tpu.ops.corner_search_device import corner_search
@@ -364,6 +367,7 @@ class Model:
         sparse = detect_layer.sparse_layer
         corner_index = sparse.corner_layer.layer_index
         sn = sparse.sample_num
+        clustering = sparse.nms_threshold < 1.0
 
         def run(params, state, x):
             ctx = Ctx(train=False, compute_dtype=self.compute_dtype)
@@ -375,8 +379,19 @@ class Model:
             corner_pr = collect["corner_pr"]
             diff = corner_pr[:, 0] - corner_pr[:, 1]
 
-            bbox, pr, count = corner_search(diff, sparse.corner_threshold, sn,
-                                            corner_k)
+            if clustering:
+                from denet_tpu.ops.cluster_device import cluster_candidates
+                cap = min(10 * sn * sn, cluster_cap)
+                bbox_c, pr_c, count_c = corner_search(
+                    diff, sparse.corner_threshold, sn, corner_k,
+                    out_count=cap, local_max=sparse.local_max)
+                bbox, pr, count = cluster_candidates(
+                    bbox_c, pr_c, count_c, sparse.nms_threshold, sn * sn,
+                    cap)
+            else:
+                bbox, pr, count = corner_search(diff, sparse.corner_threshold,
+                                                sn, corner_k,
+                                                local_max=sparse.local_max)
             bbox4 = bbox.reshape(-1, sn, sn, 4)
 
             ctx2 = Ctx(train=False, compute_dtype=self.compute_dtype,
@@ -478,9 +493,9 @@ class Model:
         for layer in self.layers:
             if device_targets and getattr(layer, "device_target", False):
                 continue
-            if (device_targets and layer.type_name == "denet-sparse" and
-                    layer.nms_threshold >= 1.0):
+            if device_targets and layer.type_name == "denet-sparse":
                 continue    # fused on-device selection inside the step
+                # (incl. v2 clustering since round 3 — ops/cluster_device)
             t = layer.get_target(self, data_x, metas)
             if t is not None:
                 targets += list(t)

@@ -408,16 +408,20 @@ class DeNetDetectLayer(Layer):
         logging.verbose("Using detection params - pr threshold: %f, "
                         "nms threshold: %f" % (pr_threshold, nms_threshold))
 
-        # fully-on-device fast path (incl. device soft-NMS); corner-clustering
-        # (v2) models round-trip the host only for the greedy clustering
+        # fully-on-device fast path (incl. device soft-NMS and, since round
+        # 3, device corner clustering — ops/cluster_device fuses the v2 path
+        # into the same single jit).  useDeviceCluster=0 falls back to the
+        # host greedy clustering round-trip (parity / debugging).
         use_device = params.get("useDevicePipeline", 1) == 1
+        device_cluster = params.get("useDeviceCluster", 1) == 1
         if params.get("useInt8", 0) == 1 and not (
                 use_device and self.sparse_layer.nms_threshold >= 1.0):
             raise ValueError(
                 "useInt8=1 requires the fused device pipeline "
                 "(useDevicePipeline=1 and a non-clustering model); it would "
                 "otherwise be silently ignored")
-        if use_device and self.sparse_layer.nms_threshold >= 1.0:
+        if use_device and (self.sparse_layer.nms_threshold >= 1.0 or
+                           device_cluster):
             return self._get_detections_device(model, data_x, data_m,
                                                pr_threshold, nms_threshold,
                                                params, use_soft_nms)
@@ -622,7 +626,8 @@ class DeNetDetectLayer(Layer):
             raise ValueError("useInt8 is not supported by the batched "
                              "detection path; use get_detections")
         use_device = (params.get("useDevicePipeline", 1) == 1 and
-                      self.sparse_layer.nms_threshold >= 1.0)
+                      (self.sparse_layer.nms_threshold >= 1.0 or
+                       params.get("useDeviceCluster", 1) == 1))
         if not use_device:
             results = []
             for data_x, data_m in batches:

@@ -96,14 +96,19 @@ class DeNetSparseLayer(Layer):
             y = sparse_gather(sample_input, sample_bbox, self.grid_size)
         return y, {}
 
+    # cap on candidates entering the traced device clustering (bounds the
+    # N^2 adjacency bitmap; the reference host path uses 10*sample_count —
+    # 23040 for the wide config, a 530MB bitmap per image)
+    cluster_device_cap = 6144
+
     def _select_samples_device(self, ctx):
         """On-device training sample selection (fused into the train step).
 
         Reference semantics of get_target (denet_sparse.py:164-206) with the
-        corner search and the random subset/pad/gt-injection all traced:
-        stop-gradient corner diffs -> device corner search -> select_samples.
-        Requires ctx.aux gt arrays; v1 models only (corner clustering keeps
-        the host greedy path).
+        corner search, the v2 greedy corner clustering (ops/cluster_device)
+        and the random subset/pad/gt-injection all traced: stop-gradient
+        corner diffs -> device corner search [-> device clustering] ->
+        select_samples.  Requires ctx.aux gt arrays.
         """
         import jax
 
@@ -112,13 +117,20 @@ class DeNetSparseLayer(Layer):
 
         assert ctx.train and "gt_bbox" in ctx.aux, \
             "sample_bbox aux input required outside device-target training"
-        assert self.nms_threshold >= 1.0, \
-            "corner clustering (v2) requires host-side sample selection"
         corner_pr = ctx.collect[self.corner_layer.layer_index]["corner_pr"]
         diff = jax.lax.stop_gradient(corner_pr[:, 0] - corner_pr[:, 1])
-        cand, _pr, count = corner_search(
-            diff, self.corner_threshold, self.sample_num,
-            local_max=self.local_max)
+        if self.nms_threshold < 1.0:
+            from denet_tpu.ops.cluster_device import cluster_candidates
+            cap = min(10 * self.sample_count, self.cluster_device_cap)
+            cand, pr, count = corner_search(
+                diff, self.corner_threshold, self.sample_num,
+                out_count=cap, local_max=self.local_max)
+            cand, _pr, count = cluster_candidates(
+                cand, pr, count, self.nms_threshold, self.sample_count, cap)
+        else:
+            cand, _pr, count = corner_search(
+                diff, self.corner_threshold, self.sample_num,
+                local_max=self.local_max)
         return jax.lax.stop_gradient(select_samples(
             cand, count, ctx.aux["gt_bbox"], ctx.aux["gt_count"],
             ctx.layer_rng(self.layer_index), self.sample_num,

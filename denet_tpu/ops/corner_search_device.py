@@ -47,15 +47,22 @@ def corner_search(corner_diff, corner_threshold, sample_num, corner_k=256,
     sample_count = out_count if out_count else sample_num * sample_num
     bound = float(numpy.log((1.0 - corner_threshold) / corner_threshold))
 
+    # local-max filtering applies to corner SELECTION only; the pairing
+    # phases below read the RAW map at the TR/BL crossing positions exactly
+    # like the reference (denet_sparse.cc pairs TL x BR and probes dm.at()
+    # on the unfiltered heatmap).  Masking the shared map would +inf the
+    # crossing reads and silently drop almost every pair (round-3 bug fix).
+    sel = corner_diff
     if local_max > 0:
         r = local_max
         wmin = jax.lax.reduce_window(
             corner_diff, numpy.inf, jax.lax.min, (1, 1, 2 * r, 2 * r),
             (1, 1, 1, 1), ((0, 0), (0, 0), (r, r - 1), (r, r - 1)))
-        corner_diff = jnp.where(corner_diff <= wmin, corner_diff, numpy.inf)
+        sel = jnp.where(corner_diff <= wmin, corner_diff, numpy.inf)
 
-    flat = corner_diff.reshape(b, cn, h * w)
-    neg_vals, idx = jax.lax.top_k(-flat, k)          # strongest first
+    flat = corner_diff.reshape(b, cn, h * w)         # raw: crossing reads
+    flat_sel = sel.reshape(b, cn, h * w)
+    neg_vals, idx = jax.lax.top_k(-flat_sel, k)      # strongest first
     dk = -neg_vals                                   # (b, cn, k)
     valid = dk < bound
     xk = (idx % w).astype(jnp.int32)

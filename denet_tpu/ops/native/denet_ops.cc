@@ -169,18 +169,27 @@ void apply_cluster(std::vector<Sample>& samples, float threshold,
   }
 
   if (clusters.size() > output_num) {
+    // size-desc with best-member-key tiebreak: deterministic and matched by
+    // the device clustering (ops/cluster_device.py).  The reference broke
+    // ties by std::list insertion order (denet_sparse.cc:212), which is not
+    // reproducible in a data-parallel formulation.
     clusters.sort([](const Cluster& a, const Cluster& b) {
-      return a.members.size() > b.members.size();
+      if (a.members.size() != b.members.size())
+        return a.members.size() > b.members.size();
+      return a.bounds.key < b.bounds.key;
     });
     clusters.resize(output_num);
   }
 
-  double ratio = (double)(output_num - clusters.size()) /
-                 std::max<double>(1.0, (double)samples.size() - clusters.size());
+  // integer quota arithmetic (exact; the reference's double `ratio` could
+  // round floor(size*ratio) off by one at exact boundaries) — matched by
+  // the device clustering
+  size_t quota_num = output_num - clusters.size();
+  size_t quota_den = std::max<size_t>(1, samples.size() - clusters.size());
   samples.clear();
   for (Cluster& c : clusters) {
     size_t n = std::min(c.members.size(),
-                        (size_t)(1 + std::floor(c.members.size() * ratio)));
+                        1 + c.members.size() * quota_num / quota_den);
     std::partial_sort(c.members.begin(), c.members.begin() + n,
                       c.members.end());
     samples.insert(samples.end(), c.members.begin(), c.members.begin() + n);

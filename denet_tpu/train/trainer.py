@@ -161,7 +161,7 @@ class Trainer:
                 data_m, self.gt_cap)
             aux = dict(getattr(model, "train_aux", {}))
             sparse = common.find_layers(model.layers, "denet-sparse", False)
-            if sparse is not None and sparse.nms_threshold >= 1.0:
+            if sparse is not None:
                 aux.pop("sample_bbox", None)   # fused on-device selection
             aux.update({"gt_bbox": jnp.asarray(gt_bbox),
                         "gt_class": jnp.asarray(gt_class),

@@ -126,13 +126,17 @@ def main(argv=None):
             for meta, lst in zip(metas, dets_to_lists(numpy.asarray(dets))):
                 detections.append({"meta": meta, "detections": lst})
     else:
-        for _ in range(args.batches):
+        import time
+        t0 = time.time()
+        for bi in range(args.batches):
             xs, metas = gen(rng, model.batch_size, size, model.class_num)
             detections += detect_layer.get_detections(
                 model, xs, metas,
                 {"prThreshold": args.pr_threshold,
                  "nmsThreshold": args.nms_threshold,
                  "useSoftNMS": 1 if args.soft_nms else 0})
+            print("batch %d/%d (%.0fs)" % (bi + 1, args.batches,
+                                           time.time() - t0), flush=True)
 
     run_eval(model, detections, size)
     return 0

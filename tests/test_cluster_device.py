@@ -1,0 +1,227 @@
+"""Device corner clustering (ops/cluster_device) parity vs the native host
+implementation (ops/native cluster_samples, reference apply_cluster
+semantics denet_sparse.cc:165-242)."""
+import numpy
+import pytest
+
+from denet_tpu.ops import native
+from denet_tpu.ops.cluster_device import cluster_candidates_host_format
+
+
+def random_candidates(rng, batch, n, count=None, scale=0.25):
+    """Random candidate arrays sorted by pr desc (the corner-search output
+    contract)."""
+    x0 = rng.uniform(0, 1 - scale, (batch, n))
+    y0 = rng.uniform(0, 1 - scale, (batch, n))
+    w = rng.uniform(0.02, scale, (batch, n))
+    h = rng.uniform(0.02, scale, (batch, n))
+    bbox = numpy.stack([x0, y0, x0 + w, y0 + h], axis=-1).astype(numpy.float32)
+    pr = -numpy.sort(-rng.uniform(0.01, 1.0, (batch, n)).astype(numpy.float32))
+    if count is None:
+        count = numpy.full((batch,), n, numpy.int32)
+    return bbox, pr, numpy.asarray(count, numpy.int32)
+
+
+def assert_cluster_parity(bbox, pr, count, threshold, input_num, output_num):
+    hb, hp, hc = native.cluster_samples(bbox, pr, count, threshold,
+                                        input_num, output_num)
+    db, dp, dc = cluster_candidates_host_format(bbox, pr, count, threshold,
+                                                input_num, output_num)
+    numpy.testing.assert_array_equal(hc, dc)
+    for b in range(bbox.shape[0]):
+        n = int(hc[b])
+        numpy.testing.assert_allclose(dp[b, :n], hp[b, :n], rtol=0, atol=0)
+        numpy.testing.assert_allclose(db[b, :n], hb[b, :n], rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("seed,n,out", [(0, 64, 16), (1, 200, 32),
+                                        (2, 500, 64), (3, 977, 128)])
+def test_parity_random(seed, n, out):
+    rng = numpy.random.RandomState(seed)
+    bbox, pr, count = random_candidates(rng, 3, n)
+    assert_cluster_parity(bbox, pr, count, 0.7, n, out)
+
+
+def test_parity_varied_counts_and_threshold():
+    rng = numpy.random.RandomState(7)
+    bbox, pr, _ = random_candidates(rng, 4, 300)
+    count = numpy.array([300, 120, 33, 0], numpy.int32)
+    for thr in (0.5, 0.7, 0.9):
+        assert_cluster_parity(bbox, pr, count, thr, 300, 48)
+
+
+def test_parity_input_cap():
+    # input_num < count: only the top input_num by pr enter clustering
+    rng = numpy.random.RandomState(11)
+    bbox, pr, count = random_candidates(rng, 2, 256)
+    assert_cluster_parity(bbox, pr, count, 0.7, 100, 40)
+
+
+def test_passthrough_when_under_output_num():
+    # count <= output_num: the reference skips clustering entirely; the
+    # unconditional device formulation must still return the input verbatim
+    rng = numpy.random.RandomState(5)
+    bbox, pr, count = random_candidates(rng, 2, 64)
+    db, dp, dc = cluster_candidates_host_format(bbox, pr, count, 0.7,
+                                                64, 64)
+    numpy.testing.assert_array_equal(dc, count)
+    numpy.testing.assert_allclose(db, bbox, atol=0)
+    numpy.testing.assert_allclose(dp, pr, atol=0)
+
+
+def test_transitive_chain_merges_to_one_cluster():
+    # A-B and B-C overlap above threshold but A-C don't: the greedy merge
+    # (== connected components) puts all three in ONE cluster; with
+    # output_num = 2 the quota then keeps the best 2 of that single cluster
+    # plus the far singleton D
+    boxes = numpy.array([[[0.10, 0.1, 0.30, 0.3],     # A
+                          [0.13, 0.1, 0.33, 0.3],     # B (IoU~0.74 vs A)
+                          [0.16, 0.1, 0.36, 0.3],     # C (IoU~0.74 vs B)
+                          [0.70, 0.7, 0.90, 0.9]]],   # D far away
+                        numpy.float32)
+    pr = numpy.array([[0.9, 0.8, 0.7, 0.6]], numpy.float32)
+    count = numpy.array([4], numpy.int32)
+    hb, hp, hc = native.cluster_samples(boxes, pr, count, 0.5, 4, 2)
+    db, dp, dc = cluster_candidates_host_format(boxes, pr, count, 0.5, 4, 2)
+    numpy.testing.assert_array_equal(hc, dc)
+    numpy.testing.assert_allclose(db[0, :int(dc[0])], hb[0, :int(hc[0])])
+    # chain collapsed: at most one member of {A,B,C} plus D survive the
+    # 2-slot quota, and the survivors are pr-ordered
+    kept = db[0, :int(dc[0])]
+    in_chain = (kept[:, 0] < 0.5).sum()
+    assert in_chain == 1 and int(dc[0]) == 2
+
+
+def test_cluster_cap_distinct_sizes():
+    # more clusters than output_num: keep the largest (size desc); craft 4
+    # well-separated clusters with sizes 4,3,2,1 and output_num=2
+    groups = [4, 3, 2, 1]
+    boxes, prs = [], []
+    p = 0.99
+    for gi, g in enumerate(groups):
+        cx = 0.12 + 0.25 * gi
+        for k in range(g):
+            off = 0.004 * k
+            boxes.append([cx + off, 0.1, cx + 0.08 + off, 0.3])
+            prs.append(p)
+            p -= 0.01
+    order = numpy.argsort(-numpy.asarray(prs))
+    boxes = numpy.asarray(boxes, numpy.float32)[order][None]
+    prs = numpy.asarray(prs, numpy.float32)[order][None]
+    count = numpy.array([len(groups) and boxes.shape[1]], numpy.int32)
+    assert_cluster_parity(boxes, prs, count, 0.5, boxes.shape[1], 2)
+    _, _, dc = cluster_candidates_host_format(boxes, prs, count, 0.5,
+                                              boxes.shape[1], 2)
+    assert int(dc[0]) == 2   # 2 clusters kept, quota 1 each
+
+
+def build_v2_model(batch_size=2, sn=4):
+    import random as pyrandom
+
+    from denet_tpu.core.model import Model
+
+    numpy.random.seed(31)
+    pyrandom.seed(31)
+    model = Model()
+    model.batch_size = batch_size
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    desc = ["C[8,3]", "BN", "A", "DNC[16]",
+            "DNS[2,%d,0.01,0.1,2,0.7]" % sn,
+            "C[16,1]", "BN", "A", "DND.JB[0.5,1.0,1.0]"]
+    model.build(desc, (3, 16, 16), border_mode="half",
+                weight_init=["he-forward"])
+    return model
+
+
+def test_v2_fused_inference_matches_host_cluster_path():
+    """The round-3 fused v2 pipeline (device corner search -> device
+    clustering -> detect -> NMS in ONE jit) must produce the same
+    detections as the host-clustering round-trip path on the same model
+    (small configs stay under the device cluster cap, so the candidate
+    stream into clustering is identical)."""
+    model = build_v2_model()
+    rng = numpy.random.RandomState(3)
+    x = rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+    metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6)], "class": [b % 3]}
+             for b in range(2)]
+
+    base = {"prThreshold": 0.0001, "nmsThreshold": 0.5}
+    dev = model.layers[-1].get_detections(model, x, metas, dict(base))
+    host = model.layers[-1].get_detections(
+        model, x, metas, dict(base, useDeviceCluster=0))
+    assert len(dev) == len(host) == 2
+    for rd, rh in zip(dev, host):
+        assert len(rd["detections"]) == len(rh["detections"])
+        for (pd, cd, bd), (ph, ch, bh) in zip(
+                sorted(rd["detections"], key=lambda d: (-d[0], d[1])),
+                sorted(rh["detections"], key=lambda d: (-d[0], d[1]))):
+            assert cd == ch
+            assert abs(pd - ph) < 1e-5
+            numpy.testing.assert_allclose(bd, bh, atol=1e-5)
+
+
+def test_v2_fused_device_target_training():
+    """v2 (clustering) models train with the fully-fused device-target
+    step since round 3: on-device corner search + clustering + selection,
+    finite and decreasing cost."""
+    from denet_tpu.train.trainer import Trainer
+
+    model = build_v2_model()
+    trainer = Trainer(model, solver_mode="nesterov", seed=5,
+                      device_targets=True, gt_cap=8)
+    rng = numpy.random.RandomState(2)
+    x = rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+    metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6), (0.55, 0.55, 0.9, 0.9)],
+              "class": [0, 1]},
+             {"bbox": [(0.2, 0.3, 0.6, 0.7)], "class": [2]}]
+    costs = []
+    for it in range(25):
+        c, _ = trainer.train_step(x, metas, 0, it, 0.05, [0.9, 0.999], 1e-4)
+        costs.append(c)
+    assert all(numpy.isfinite(c) for c in costs)
+    assert costs[-1] < costs[0] * 0.9
+
+
+def test_full_v2_chain_matches_host_build_samples():
+    """Device corner search (local_max, oversampled) + device clustering ==
+    host build_samples with clustering, as exact bbox sets.
+
+    Regression guard for the round-3 local-max bug: the device search used
+    to mask non-local-max positions to +inf in the SHARED map, so the
+    TL x BR pairing read +inf at TR/BL crossing positions (the reference
+    probes the raw heatmap there, denet_sparse.cc) and dropped almost every
+    pair."""
+    from denet_tpu.ops.corner_search_device import corner_search
+
+    rng = numpy.random.RandomState(19)
+    b, cn, h, w = 2, 4, 24, 24
+    # mostly non-corner (d >> 0) with clumps of strong corners (d << 0):
+    # clumps exercise the local-max filter; only clump minima survive
+    # selection but crossings must still read the raw map.  The clump count
+    # keeps total candidates under out_count — at the truncation boundary
+    # device/host candidate order can differ by one f32 ulp of the pair
+    # score (one-hot-matmul sum vs sequential adds), which is tail noise in
+    # production but would break set equality here.
+    d = rng.uniform(5.0, 9.0, (b, cn, h, w)).astype(numpy.float32)
+    for bi in range(b):
+        for ci in range(cn):
+            for _ in range(4):
+                y, x = rng.randint(2, h - 2), rng.randint(2, w - 2)
+                d[bi, ci, y - 1:y + 2, x - 1:x + 2] = rng.uniform(
+                    -6, -1, (3, 3))
+
+    sn, thr, lm, cthr = 4, 0.01, 2, 0.7
+    over = 10 * sn * sn
+    bb, pr, cnt = corner_search(d, thr, sn, corner_k=256, out_count=over,
+                                local_max=lm)
+    db, dp, dc = cluster_candidates_host_format(
+        numpy.asarray(bb), numpy.asarray(pr), numpy.asarray(cnt), cthr,
+        over, sn * sn)
+    hb, hp, hc = native.build_samples_arrays(2, d, thr, sn, 1024, lm, cthr)
+    numpy.testing.assert_array_equal(dc, hc)
+    assert int(dc.sum()) > 8   # non-degenerate scene
+    for bi in range(b):
+        ds = {tuple(numpy.round(v, 5)) for v in db[bi][:int(dc[bi])]}
+        hs = {tuple(numpy.round(v, 5)) for v in hb[bi][:int(hc[bi])]}
+        assert ds == hs

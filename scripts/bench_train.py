@@ -137,6 +137,47 @@ def main(argv=None):
                       "value": round(loop_hz, 2), "unit": "images/sec",
                       "vs_baseline": round(loop_hz / dev_hz, 3)}), flush=True)
 
+    # --- device-data loop: geometry-only uploads, the image rasterized
+    # INSIDE the step jit (Trainer input_fn tracing synthetic_device's
+    # renderer) — the round-3 fused protocol of train_flagship_synth.
+    # Round 2 paid ~2 extra dispatches/step for a separate render jit.
+    if args.device_targets:
+        from denet_tpu.data.synthetic_device import (make_gt_batch,
+                                                     make_render_fn)
+        render = make_render_fn(batch, size, 80, 5)
+        trainer2 = Trainer(model, solver_mode="nesterov", seed=1,
+                           pipeline_targets=True, device_targets=True,
+                           input_fn=lambda key, g: render(key, *g))
+        geos = []
+        for _ in range(args.iters):
+            metas, boxes, classes, counts = make_gt_batch(rng, batch, size,
+                                                          80)
+            geos.append(((boxes, classes, counts), metas))
+        for it in range(2):     # compile the fused render+step
+            trainer2.train_step(geos[0][0], geos[0][1], 0, it, 0.01,
+                                [0.9, 0.999], 1e-4)
+        t0 = time.time()
+        pending = []
+        prep = trainer2.prepare_targets(None, geos[0][1])
+        for i in range(iters):
+            fut = trainer2.train_step(geos[i][0], geos[i][1], 0, 42 + i,
+                                      0.01, [0.9, 0.999], 1e-4,
+                                      prepared=prep, block=False)
+            if i + 1 < iters:
+                prep = trainer2.prepare_targets(None, geos[i + 1][1])
+            pending.append(fut[0])
+            if len(pending) >= K:
+                numpy.asarray(jnpp.stack(pending))
+                pending = []
+        if pending:
+            numpy.asarray(jnpp.stack(pending))
+        dt = time.time() - t0
+        dd_hz = batch * iters / dt
+        print(json.dumps({"metric": "denet34_skip_train_loop_device_data",
+                          "value": round(dd_hz, 2), "unit": "images/sec",
+                          "vs_baseline": round(dd_hz / dev_hz, 3)}),
+              flush=True)
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -65,10 +65,23 @@ def main(argv=None):
                         "feature matrix, e.g. 'DND[0.5,1,0]' (plain), "
                         "'DND.B[0.5,1,1]' (bounded IoU), 'DND[0.5,1,1,1]' "
                         "(indfit), 'DND.J[0.5,1,1]' (jointfit)")
+    p.add_argument("--dns", default=None,
+                   help="override the DNS desc token, e.g. "
+                        "'DNS[7,24,0.01,0.1,2,0.7]' for v2 corner "
+                        "clustering")
     p.add_argument("--init-trunk", default=None,
                    help="transplant trunk+corner-head params from a "
                         "checkpoint whose head config may differ (the final "
                         "DND head is re-initialized unless identical)")
+    p.add_argument("--head-copy", type=int, default=1,
+                   help="0 = always re-initialize the DND head even when "
+                        "--init-trunk has an identical head shape (fair "
+                        "same-init feature-matrix protocol)")
+    p.add_argument("--eval-batches", type=int, default=0,
+                   help="run the held-out VOC+COCO eval (same process, seed "
+                        "1234) on this many batches after training; with "
+                        "--eval-soft-nms a second soft-NMS pass is added")
+    p.add_argument("--eval-soft-nms", action="store_true")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -85,11 +98,16 @@ def main(argv=None):
                                          batch_size=args.batch)
     else:
         desc = None
-        if args.dnd is not None:
+        if args.dnd is not None or args.dns is not None:
             from denet_tpu.models import zoo
             desc = zoo.denet34("skip")
             assert desc[-1].startswith("DND")
-            desc = desc[:-1] + [args.dnd]
+            if args.dnd is not None:
+                desc = desc[:-1] + [args.dnd]
+            if args.dns is not None:
+                di = [i for i, t in enumerate(desc)
+                      if t.startswith("DNS")][0]
+                desc[di] = args.dns
         model = _build_detect_model(args.batch, args.size,
                                     class_num=args.class_num, variant="skip",
                                     desc_override=desc)
@@ -99,7 +117,8 @@ def main(argv=None):
         src = model_mod.load_from_file(args.init_trunk,
                                        batch_size=args.batch)
         assert len(src.layers) == len(model.layers)
-        same_head = (src.layers[-1].export_json(src.params[-1],
+        same_head = (args.head_copy == 1 and
+                     src.layers[-1].export_json(src.params[-1],
                                                 src.state[-1]).keys() ==
                      model.layers[-1].export_json(model.params[-1],
                                                   model.state[-1]).keys()
@@ -217,6 +236,28 @@ def main(argv=None):
 
     model_mod.save_to_file(model, args.out)
     print("saved %s" % args.out, flush=True)
+
+    if args.eval_batches > 0:
+        from denet_tpu.data.synthetic import make_batch, make_batch_hard
+        from eval_flagship_synth import run_eval
+
+        gen = make_batch_hard if args.dist == "hard" else make_batch
+        erng = numpy.random.RandomState(1234)      # held-out seed
+        batches = [gen(erng, args.batch, args.size, args.class_num)
+                   for _ in range(args.eval_batches)]
+        detect_layer = model.layers[-1]
+        passes = [("hard-NMS", 0)]
+        if args.eval_soft_nms:
+            passes.append(("soft-NMS", 1))
+        for tag, soft in passes:
+            dets = []
+            for xs, metas in batches:
+                dets += detect_layer.get_detections(
+                    model, xs, metas, {"prThreshold": 0.05,
+                                       "nmsThreshold": 0.5,
+                                       "useSoftNMS": soft})
+            print("eval[%s]:" % tag, flush=True)
+            run_eval(model, dets, args.size, tag="  ")
     return 0
 
 

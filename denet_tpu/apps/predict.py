@@ -180,6 +180,19 @@ def test_detector(mode, model, data, output_fname, params):
     elif "mscoco" in mode:
         logging.info("Exporting mscoco detections to:", output_fname + ".json")
         data.export_detections(output_fname + ".json", detections)
+        # local COCO-protocol mAP when the subset carries annotations — the
+        # reference could only score via the CodaLab server upload; the
+        # in-repo evaluator (data/coco_eval.py) reports the published-table
+        # metrics (mAP@[.5:.95]/@.5/@.75, size strata) directly
+        if any(len(r["meta"].get("bbox", [])) for r in detections):
+            from denet_tpu.data import coco_eval
+            s = coco_eval.summarize(detections, model.class_num,
+                                    image_size=model.get_input_shape()[3])
+            logging.info(
+                "COCO mAP@[.5:.95]=%.4f @0.5=%.4f @0.75=%.4f "
+                "(small %.4f / medium %.4f / large %.4f)" % (
+                    s["map"], s["map50"], s["map75"], s["map_small"],
+                    s["map_medium"], s["map_large"]))
     elif "imagenet" in mode:
         from denet_tpu.data import imagenet
         imagenet.get_localization_error(detections)

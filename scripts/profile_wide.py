@@ -1,0 +1,134 @@
+"""Stage-level device timing of the WIDE detection pipeline @512 b8.
+
+The wide rows are the weakest bench margins (denet34_wide_v1 388 img/s,
+wide_v2 376 vs the 8x goal of 640).  Round-2 evidence shows the host
+clustering round-trip costs only ~12 img/s (wide_v1 vs wide_v2 near-equal),
+so the limiter is the wide pipeline itself.  This script times each fused
+segment to locate it: trunk, trunk+corner head (PI-upsampled 128^2 convs),
++corner search, +clustering, the RoI gather + detect head (2304 RoIs x
+4802ch), and the full pipeline incl. NMS.
+
+Run on the TPU: python -u scripts/profile_wide.py [--v2]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--v2", action="store_true")
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--size", type=int, default=512)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import denet_tpu.utils.logging as logging
+    from __graft_entry__ import _build_detect_model
+    from bench import calibrate_corner_bias_device, perturb_heads_host
+    from denet_tpu.core.model import _keepalive
+    from denet_tpu.layers.base import Ctx
+    from denet_tpu.models import zoo
+
+    logging.init(level="warning")
+    batch, size = 8, args.size
+    desc = zoo.denet34("wide", v2=args.v2)
+    model = _build_detect_model(batch, size, class_num=80,
+                                desc_override=desc)
+    model.compute_dtype = jnp.bfloat16
+    detect_layer = model.layers[-1]
+    sparse = [l for l in model.layers if l.type_name == "denet-sparse"][0]
+    dnc = sparse.corner_layer
+    sn = sparse.sample_num
+    perturb_heads_host(model)
+    model.ensure_on_device()
+    rng = numpy.random.RandomState(3)
+    x = jnp.asarray(rng.randint(0, 256, (batch, 3, size, size))
+                    .astype(numpy.uint8))
+    calibrate_corner_bias_device(model, x)
+    params = model.inference_params()
+
+    def timeit(name, fn, fargs, iters=args.iters):
+        r = fn(*fargs)
+        numpy.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        t0 = time.time()
+        for _ in range(iters):
+            r = fn(*fargs)
+        numpy.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        dt = (time.time() - t0) / iters
+        print("%-30s %7.2f ms/batch  (%6.1f img/s)" % (
+            name, 1000 * dt, batch / dt), flush=True)
+        return r
+
+    corner_index = dnc.layer_index
+
+    # 1. trunk through the corner head (incl. the PI-upsampled head convs)
+    def trunk_corner(params, state, x):
+        ctx = Ctx(train=False, compute_dtype=model.compute_dtype)
+        outputs = {0: model.prep_input(x, ctx)}
+        for i in range(1, corner_index + 1):
+            y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
+            outputs[i] = y
+        c = ctx.collect[corner_index]
+        return c["corner_pr"][:, 0, 0, 0, 0], c["sample"][:, 0, 0, 0]
+
+    timeit("trunk+corner-head", _keepalive(jax.jit(trunk_corner)),
+           (params, model.state, x))
+
+    # 2. + device corner search (and clustering for v2)
+    from denet_tpu.ops.corner_search_device import corner_search
+
+    def with_search(params, state, x):
+        ctx = Ctx(train=False, compute_dtype=model.compute_dtype)
+        outputs = {0: model.prep_input(x, ctx)}
+        for i in range(1, corner_index + 1):
+            y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
+            outputs[i] = y
+        c = ctx.collect[corner_index]
+        diff = c["corner_pr"][:, 0] - c["corner_pr"][:, 1]
+        if args.v2:
+            from denet_tpu.ops.cluster_device import cluster_candidates
+            cap = min(10 * sn * sn, sparse.cluster_device_cap)
+            bb, pr, cnt = corner_search(diff, sparse.corner_threshold, sn,
+                                        out_count=cap,
+                                        local_max=sparse.local_max)
+            bb, pr, cnt = cluster_candidates(bb, pr, cnt,
+                                             sparse.nms_threshold,
+                                             sn * sn, cap)
+        else:
+            bb, pr, cnt = corner_search(diff, sparse.corner_threshold, sn,
+                                        local_max=sparse.local_max)
+        return bb[:, 0], cnt
+
+    timeit("+corner-search%s" % ("+cluster" if args.v2 else ""),
+           _keepalive(jax.jit(with_search)), (params, model.state, x))
+
+    # 3. full fused pipeline (adds RoI gather + detect head + NMS)
+    full = model.build_full_detect_fn(detect_layer, 0.01, 0.5)
+    timeit("full pipeline", full, (params, model.state, x))
+
+    # 4. detect phase alone on stashed features (gather + head + NMS)
+    key = ("clustered", 0.01, 0.5, 128, 100, False)
+    dnm = model.build_detect_nms_fn(detect_layer, 0.01, 0.5)
+    feat = model._detect_sample_feat
+    if feat is None:
+        # stash features via the sample fn
+        fn = model.build_sample_fn(sparse, train=False, return_sample=True)
+        _p = fn(params, model.state, x)
+        feat = model._detect_sample_feat
+    bbox4 = jnp.zeros((batch, sn, sn, 4), jnp.float32).at[..., 2:].set(0.3)
+    cnt = jnp.full((batch,), sn * sn, jnp.int32)
+    timeit("detect-phase (gather+head+NMS)", dnm,
+           (params, model.state, feat, bbox4, cnt))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ The sample bbox array enters the jitted step as a regular device input
 (``ctx.aux["sample_bbox"]``) instead of a mutated shared variable.
 """
 import math
+import os
 import random
 
 import jax.numpy as jnp
@@ -96,10 +97,17 @@ class DeNetSparseLayer(Layer):
             y = sparse_gather(sample_input, sample_bbox, self.grid_size)
         return y, {}
 
-    # cap on candidates entering the traced device clustering (bounds the
-    # N^2 adjacency bitmap; the reference host path uses 10*sample_count —
-    # 23040 for the wide config, a 530MB bitmap per image)
-    cluster_device_cap = 6144
+    # caps on candidates entering the traced device clustering (bounds the
+    # N^2 adjacency bitmap; the reference host path admits 10*sample_count —
+    # 23040 for the wide config, a 530MB bitmap per image).  Inference uses
+    # the full cap; the TRAINING selection uses a smaller one — selection
+    # trims to (1-random_sample)*sn^2 candidates and pads/injects gt anyway,
+    # so the deep pr-tail never reaches the step, and the N^2 cost is paid
+    # EVERY training step (measured 4.7 vs 13-50 ms/batch at 1536 vs 5760,
+    # scripts/probe_cluster_tpu.py).
+    cluster_device_cap = int(os.environ.get("DENET_TPU_CLUSTER_CAP", "6144"))
+    cluster_train_cap = int(os.environ.get("DENET_TPU_CLUSTER_TRAIN_CAP",
+                                           "1536"))
 
     def _select_samples_device(self, ctx):
         """On-device training sample selection (fused into the train step).
@@ -121,7 +129,7 @@ class DeNetSparseLayer(Layer):
         diff = jax.lax.stop_gradient(corner_pr[:, 0] - corner_pr[:, 1])
         if self.nms_threshold < 1.0:
             from denet_tpu.ops.cluster_device import cluster_candidates
-            cap = min(10 * self.sample_count, self.cluster_device_cap)
+            cap = min(10 * self.sample_count, self.cluster_train_cap)
             cand, pr, count = corner_search(
                 diff, self.corner_threshold, self.sample_num,
                 out_count=cap, local_max=self.local_max)

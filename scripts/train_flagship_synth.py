@@ -218,7 +218,7 @@ def main(argv=None):
             if not numpy.isfinite(vals).all():
                 print("ABORT: non-finite cost at step %d" % it)
                 return 1
-            if it % 512 < K:
+            if it % 128 < K:
                 dt = time.time() - t0
                 print("step %5d  cost %.4f  (%.1f img/s)" % (
                     it, float(vals[-1]), args.batch * it / dt), flush=True)

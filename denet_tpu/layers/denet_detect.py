@@ -483,9 +483,14 @@ class DeNetDetectLayer(Layer):
 
         model.ensure_on_device()
         use_int8 = params.get("useInt8", 0) == 1
+        # clusterCap bounds the candidates entering device corner clustering
+        # (v2 models only; default in build_full_detect_fn).  PERF.md: the
+        # N^2 clustering cost scales quadratically with the cap while mAP
+        # is flat from ~4*sample_num^2 up, so serving configs may lower it.
+        cluster_cap = int(params.get("clusterCap", 6144))
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
-               use_int8)
+               use_int8, cluster_cap)
         if use_int8:
             # int8 PTQ serving (serve/quant.py): self-calibrates activation
             # scales on the first calibBatches serving batches (default 1),
@@ -536,7 +541,8 @@ class DeNetDetectLayer(Layer):
                 logging.info("Building fused device detection function")
                 self._full_fn[key] = model.build_full_detect_fn(
                     self, pr_threshold, nms_threshold, corner_k=key[2],
-                    top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
+                    top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms,
+                    cluster_cap=cluster_cap)
             fn = self._full_fn[key]
 
         timer = common.Timer()

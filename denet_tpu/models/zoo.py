@@ -66,7 +66,16 @@ def _resnet101_trunk(skip_variant=None):
 
 
 def _denet_head(variant="std", v2=False):
-    """Detection head descs from papers/dss/denet34.sh MODEL_DESC."""
+    """Detection head descs from papers/dss/denet34.sh MODEL_DESC.
+
+    v2 ("c1", fitness-NMS paper) wide models sample 24x24=576 RoIs, not
+    the v1 48x48=2304: corner clustering concentrates candidates so 1/4
+    the RoIs suffice.  Reference evidence (README.md:118-148): DeNet34
+    wide v2 runs 80 Hz ~= skip v1's 82 Hz (576 RoIs) vs wide v1's 44 Hz
+    (2304 RoIs) on the same GPU — impossible at equal RoI count since
+    clustering only ADDS host work — and the x768 recipe sets
+    sample_num=36 = 24*(768/512), the same RoI density scaled to 768px
+    ("1296 sample RoIs", README.md:135,145)."""
     dnd = "DND.JB[0.5,1,1]" if v2 else "DND[0.5,1,1]"
     dns_v2 = ",2,0.7" if v2 else ""  # local-max 2 + corner clustering 0.7
     if variant == "std":
@@ -78,10 +87,11 @@ def _denet_head(variant="std", v2=False):
                 "DNC[96,100] DNS[7,24,0.01,0.1%s] C[1536,1] BNA C.B[1024,1] "
                 "BNA C.B[768,1] BNA C.B[512,1] BNA %s" % (dns_v2, dnd)).split()
     if variant == "wide":
+        wide_sn = 24 if v2 else 48
         return ("PI[2] C[256,3] SKIP[2] BNA PI[2] C[128,3] SKIP[1] BNA PI[2] "
-                "C[64,3] SKIP[0] BNA SPLIT DNC[48,400] DNS[10,48,0.01,0.1%s] "
+                "C[64,3] SKIP[0] BNA SPLIT DNC[48,400] DNS[10,%d,0.01,0.1%s] "
                 "C.B[1536,1] BNA C.B[1024,1] BNA C.B[768,1] BNA C.B[512,1] "
-                "BNA %s" % (dns_v2, dnd)).split()
+                "BNA %s" % (wide_sn, dns_v2, dnd)).split()
     raise Exception("Unknown DeNet variant: %s" % variant)
 
 

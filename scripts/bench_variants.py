@@ -44,7 +44,8 @@ def build_model(family, variant, v2, size, sn_override, batch):
     numpy.random.seed(1)
     desc = (zoo.denet34 if family == 34 else zoo.denet101)(variant, v2=v2)
     if sn_override is not None:
-        desc = [("DNS[10,%d" % sn_override) + t[len("DNS[10,48"):]
+        import re
+        desc = [re.sub(r"^(DNS\[\d+,)\d+", r"\g<1>%d" % sn_override, t)
                 if t.startswith("DNS[") else t for t in desc]
     model = Model()
     model.batch_size = batch
@@ -56,7 +57,7 @@ def build_model(family, variant, v2, size, sn_override, batch):
 
 
 def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
-                batch=8, min_seconds=8.0):
+                batch=8, min_seconds=8.0, cluster_cap=None):
     import jax
     import jax.numpy as jnp
     from bench import perturb_heads_host, calibrate_corner_bias_device
@@ -72,8 +73,9 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
                     .astype(numpy.uint8))
     calibrate_corner_bias_device(model, x)
 
+    kw = {} if cluster_cap is None else {"cluster_cap": cluster_cap}
     fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
-                                    corner_k=256, top_m=128, top_n=100)
+                                    corner_k=256, top_m=128, top_n=100, **kw)
     params = model.inference_params()   # pre-cast bf16 conv weights
     t_c0 = time.time()
     r = fn(params, model.state, x)
@@ -107,6 +109,8 @@ def main(argv=None):
     p.add_argument("--out", default="/tmp/variant_rates.jsonl")
     p.add_argument("--only", default=None,
                    help="comma-separated variant tags to run")
+    p.add_argument("--cluster-cap", type=int, default=None,
+                   help="candidate cap for v2 device corner clustering")
     args = p.parse_args(argv)
 
     import os
@@ -119,7 +123,9 @@ def main(argv=None):
         if only and row[0] not in only:
             continue
         try:
-            res = run_variant(*row)
+            res = run_variant(*row, cluster_cap=args.cluster_cap)
+            if args.cluster_cap is not None:
+                res["cluster_cap"] = args.cluster_cap
         except Exception as e:  # noqa: BLE001 — record and continue
             res = {"metric": row[0], "error": repr(e)[:300]}
         line = json.dumps(res)

@@ -79,6 +79,10 @@ def main(argv=None):
                    help="held-out data seed (training used 7, bench 3)")
     p.add_argument("--soft-nms", action="store_true",
                    help="gaussian Soft-NMS on the fused device path")
+    p.add_argument("--cluster-cap", type=int, default=None,
+                   help="clusterCap for v2 device corner clustering "
+                        "(candidates entering the N^2 merge; mAP-vs-perf "
+                        "sweep evidence in PERF.md)")
     p.add_argument("--int8", action="store_true",
                    help="serve through the int8 PTQ trunk "
                         "(denet_tpu/serve/quant.py); reports the mAP cost "
@@ -130,11 +134,13 @@ def main(argv=None):
         t0 = time.time()
         for bi in range(args.batches):
             xs, metas = gen(rng, model.batch_size, size, model.class_num)
+            dparams = {"prThreshold": args.pr_threshold,
+                       "nmsThreshold": args.nms_threshold,
+                       "useSoftNMS": 1 if args.soft_nms else 0}
+            if args.cluster_cap is not None:
+                dparams["clusterCap"] = args.cluster_cap
             detections += detect_layer.get_detections(
-                model, xs, metas,
-                {"prThreshold": args.pr_threshold,
-                 "nmsThreshold": args.nms_threshold,
-                 "useSoftNMS": 1 if args.soft_nms else 0})
+                model, xs, metas, dparams)
             print("batch %d/%d (%.0fs)" % (bi + 1, args.batches,
                                            time.time() - t0), flush=True)
 

@@ -115,18 +115,50 @@ def main(argv=None):
     timeit("full pipeline", full, (params, model.state, x))
 
     # 4. detect phase alone on stashed features (gather + head + NMS)
-    key = ("clustered", 0.01, 0.5, 128, 100, False)
     dnm = model.build_detect_nms_fn(detect_layer, 0.01, 0.5)
-    feat = model._detect_sample_feat
-    if feat is None:
-        # stash features via the sample fn
-        fn = model.build_sample_fn(sparse, train=False, return_sample=True)
-        _p = fn(params, model.state, x)
-        feat = model._detect_sample_feat
-    bbox4 = jnp.zeros((batch, sn, sn, 4), jnp.float32).at[..., 2:].set(0.3)
+    fn = model.build_sample_fn(sparse, train=False, return_sample=True)
+    feat = fn(params, model.state, x)[1]
+    rngb = numpy.random.RandomState(5)
+    x0 = rngb.uniform(0, 0.7, (batch, sn, sn)).astype(numpy.float32)
+    y0 = rngb.uniform(0, 0.7, (batch, sn, sn)).astype(numpy.float32)
+    wh = rngb.uniform(0.05, 0.3, (batch, sn, sn, 2)).astype(numpy.float32)
+    bbox4 = jnp.asarray(numpy.stack(
+        [x0, y0, x0 + wh[..., 0], y0 + wh[..., 1]], axis=-1))
     cnt = jnp.full((batch,), sn * sn, jnp.int32)
     timeit("detect-phase (gather+head+NMS)", dnm,
            (params, model.state, feat, bbox4, cnt))
+
+    # 5. sub-stages of the detect phase
+    from denet_tpu.ops import nms_device
+    from denet_tpu.ops.sparse_gather import sparse_gather
+
+    gather = _keepalive(jax.jit(
+        lambda f, bb: sparse_gather(f, bb, sparse.grid_size)))
+    roi = timeit("  RoI gather alone", gather, (feat, bbox4))
+
+    def head_only(params, roi_feat):
+        ctx = Ctx(train=False, compute_dtype=model.compute_dtype,
+                  aux={"sample_feat": feat, "sample_bbox": bbox4})
+        outs = dict()
+        y = roi_feat
+        for i in range(sparse.layer_index + 1, len(model.layers)):
+            layer = model.layers[i]
+            outs[layer.layer_index - 1] = y
+            y2, _ = layer.apply(params[i], model.state[i],
+                                {layer.input_index: y}, ctx)
+            y = y2
+        c = ctx.collect[detect_layer.layer_index]
+        return c["det_pr"][:, 0, 0, 0]
+
+    timeit("  head convs alone", _keepalive(jax.jit(head_only)),
+           (params, roi))
+
+    det_pr = jnp.zeros((batch, detect_layer.class_num + 1, sn, sn),
+                       jnp.float32) - 2.0
+    timeit("  NMS alone", _keepalive(jax.jit(
+        lambda d, bb, c: nms_device.nms(d, d, bb, c, pr_threshold=0.01,
+                                        nms_threshold=0.5))),
+        (det_pr, bbox4, cnt))
     return 0
 
 

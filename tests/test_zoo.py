@@ -59,6 +59,19 @@ def test_denet34_v2_desc_build():
     assert sparse.local_max == 2
 
 
+def test_wide_v2_sample_count():
+    """v2 ("c1") wide models sample 24x24=576 RoIs vs v1's 48x48=2304:
+    reference README.md:118-148 (wide v2 80 Hz ~= skip v1 82 Hz with 576
+    RoIs; x768 recipe sets sample_num=36 = 24*768/512)."""
+    for fam in (zoo.denet34, zoo.denet101):
+        m1 = build(fam("wide"), (3, 128, 128), class_num=20)
+        m2 = build(fam("wide", v2=True), (3, 128, 128), class_num=20)
+        s1 = [l for l in m1.layers if l.type_name == "denet-sparse"][0]
+        s2 = [l for l in m2.layers if l.type_name == "denet-sparse"][0]
+        assert s1.sample_num == 48 and s2.sample_num == 24
+        assert s2.nms_threshold == 0.7 and s2.local_max == 2
+
+
 def test_denet101_desc_build():
     model = build(zoo.denet101("skip"), (3, 128, 128), class_num=80)
     assert model.layers[-1].type_name == "denet-detect"
@@ -91,7 +104,8 @@ def test_denet101_wide_x768_construction():
     (BASELINE.md: DeNet101 wide x768 v2) must build with consistent shapes."""
     desc = zoo.denet101("wide", v2=True)
     # x768 evaluation uses 1296 RoIs = 36^2 (README.md:133-135): bump DNS
-    desc = [t.replace("DNS[10,48,", "DNS[10,36,") for t in desc]
+    # (v2 zoo descs sample 24x24 at 512 — see zoo._denet_head)
+    desc = [t.replace("DNS[10,24,", "DNS[10,36,") for t in desc]
     model = build(desc, (3, 768, 768), class_num=80, batch_size=1)
     sparse = [l for l in model.layers if l.type_name == "denet-sparse"][0]
     assert sparse.sample_num == 36

@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--device-targets", type=int, default=1,
                    help="1 = fused on-device sample selection + target "
                         "construction (ops/target_device); 0 = host path")
+    p.add_argument("--sections", default="base",
+                   choices=("base", "scan", "all"),
+                   help="base: device step + pipelined loops; scan: the "
+                        "scan-K dispatch mode (own process — each remote "
+                        "XLA compile costs minutes, 4+ don't fit one 590s "
+                        "window)")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -53,11 +59,22 @@ def main(argv=None):
         # execution); disable to measure the recompute cost when the model
         # fits in HBM without it
         model.use_split_mode = False
+    rng = numpy.random.RandomState(3)
+    if args.sections == "scan":
+        from denet_tpu.data.synthetic_device import (make_gt_batch,
+                                                     make_render_fn)
+        render = make_render_fn(batch, size, 80, 5)
+        geos = []
+        for _ in range(args.iters):
+            metas, boxes, classes, counts = make_gt_batch(rng, batch, size,
+                                                          80)
+            geos.append(((boxes, classes, counts), metas))
+        K = 8
+        return _scan_section(args, model, render, geos, K, args.iters, None)
+
     trainer = Trainer(model, solver_mode="nesterov", seed=1,
                       pipeline_targets=True,
                       device_targets=bool(args.device_targets))
-
-    rng = numpy.random.RandomState(3)
 
     def make_batch(it):
         x = rng.uniform(0, 1, (batch, 3, size, size)).astype(numpy.float32)
@@ -156,6 +173,24 @@ def main(argv=None):
         for it in range(2):     # compile the fused render+step
             trainer2.train_step(geos[0][0], geos[0][1], 0, it, 0.01,
                                 [0.9, 0.999], 1e-4)
+
+        # compute-matched step rate: same fused render+train jit, targets
+        # pre-prepared and geometry pre-staged, so the gap between this and
+        # the loop below is pure host/dispatch overhead (the render compute
+        # itself is part of both)
+        prep = trainer2.prepare_targets(None, geos[0][1])
+        t0 = time.time()
+        for it in range(iters):
+            total, _ = trainer2.train_step(
+                geos[0][0], geos[0][1], 0, 2 + it, 0.01, [0.9, 0.999], 1e-4,
+                prepared=prep, block=False)
+        float(total)
+        dt = time.time() - t0
+        dd_dev_hz = batch * iters / dt
+        print(json.dumps({"metric": "denet34_skip_train_device_step_fused_render",
+                          "value": round(dd_dev_hz, 2), "unit": "images/sec",
+                          "vs_baseline": round(dd_dev_hz / dev_hz, 3)}),
+              flush=True)
         t0 = time.time()
         pending = []
         prep = trainer2.prepare_targets(None, geos[0][1])
@@ -177,6 +212,65 @@ def main(argv=None):
                           "value": round(dd_hz, 2), "unit": "images/sec",
                           "vs_baseline": round(dd_hz / dev_hz, 3)}),
               flush=True)
+
+        if args.sections == "all":
+            _scan_section(args, model, render, geos, K, iters, dev_hz)
+
+
+def _scan_section(args, model, render, geos, scan_k, iters, dev_hz):
+    """Scan-K loop: K optimizer steps per dispatch (ONE jit running lax.scan
+    over the step body; Trainer.train_steps).  Geometry for K batches
+    uploads as one stacked transfer; the K cost scalars come back as one
+    array — host dispatch amortizes K-fold."""
+    import json
+    import time
+
+    import numpy
+
+    from denet_tpu.train.trainer import Trainer
+
+    batch = args.batch
+    trainer3 = Trainer(model, solver_mode="nesterov", seed=1,
+                       device_targets=True,
+                       input_fn=lambda key, g: render(key, *g))
+    chunks = [geos[i:i + scan_k]
+              for i in range(0, len(geos), scan_k)
+              if len(geos[i:i + scan_k]) == scan_k]
+    trainer3.train_steps(chunks[0], 0, 0.01, [0.9, 0.999], 1e-4)  # compile
+    if dev_hz is None:
+        # standalone run: the compute-matched reference is the fused-render
+        # per-step rate measured through the SAME trainer's step jit
+        prep = trainer3.prepare_targets(None, chunks[0][0][1])
+        for it in range(2):
+            trainer3.train_step(chunks[0][0][0], chunks[0][0][1], 0, it,
+                                0.01, [0.9, 0.999], 1e-4, prepared=prep,
+                                block=False)
+        t0 = time.time()
+        for it in range(iters):
+            total, _ = trainer3.train_step(
+                chunks[0][0][0], chunks[0][0][1], 0, 2 + it, 0.01,
+                [0.9, 0.999], 1e-4, prepared=prep, block=False)
+        float(total)
+        dev_hz = batch * iters / (time.time() - t0)
+        print(json.dumps({"metric":
+                          "denet34_skip_train_device_step_fused_render",
+                          "value": round(dev_hz, 2), "unit": "images/sec",
+                          "vs_baseline": 1.0}), flush=True)
+    t0 = time.time()
+    n_steps = 0
+    while n_steps < iters:
+        for ch in chunks:
+            totals = trainer3.train_steps(ch, 0, 0.01, [0.9, 0.999], 1e-4)
+            n_steps += scan_k
+            if n_steps >= iters:
+                break
+    numpy.asarray(totals)    # drain
+    dt = time.time() - t0
+    sc_hz = batch * n_steps / dt
+    print(json.dumps({"metric": "denet34_skip_train_loop_scan%d" % scan_k,
+                      "value": round(sc_hz, 2), "unit": "images/sec",
+                      "vs_baseline": round(sc_hz / dev_hz, 3)}),
+          flush=True)
 
 
 if __name__ == "__main__":

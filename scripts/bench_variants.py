@@ -57,21 +57,43 @@ def build_model(family, variant, v2, size, sn_override, batch):
 
 
 def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
-                batch=8, min_seconds=8.0, cluster_cap=None):
+                batch=8, min_seconds=8.0, cluster_cap=None,
+                models_dir=None):
     import jax
     import jax.numpy as jnp
     from bench import perturb_heads_host, calibrate_corner_bias_device
 
-    model = build_model(family, variant, v2, size, sn_override, batch)
-    model.compute_dtype = jnp.bfloat16
-    detect_layer = model.layers[-1]
-    perturb_heads_host(model)
-    model.ensure_on_device()
+    ckpt = None
+    if models_dir:
+        import os
+        cand = os.path.join(models_dir, tag + ".mdl.gz")
+        if os.path.exists(cand):
+            ckpt = cand
+    if ckpt is not None:
+        # trained weights: realistic corner densities + NMS load (round-2
+        # batch-sweep inversion showed head calibration distorts these)
+        import denet_tpu.core.model as model_mod
+        model = model_mod.load_from_file(ckpt, batch_size=batch)
+        model.compute_dtype = jnp.bfloat16
+        detect_layer = model.layers[-1]
+        model.ensure_on_device()
+        # feed the training distribution: realistic corner/NMS load (noise
+        # into a trained net detects ~nothing — unrealistically light)
+        from denet_tpu.data.synthetic import make_uint8_batch_hard
+        rng = numpy.random.RandomState(3)
+        x = jnp.asarray(make_uint8_batch_hard(rng, batch, size,
+                                              model.class_num)[0])
+    else:
+        model = build_model(family, variant, v2, size, sn_override, batch)
+        model.compute_dtype = jnp.bfloat16
+        detect_layer = model.layers[-1]
+        perturb_heads_host(model)
+        model.ensure_on_device()
 
-    rng = numpy.random.RandomState(3)
-    x = jnp.asarray(rng.randint(0, 256, (batch, 3, size, size))
-                    .astype(numpy.uint8))
-    calibrate_corner_bias_device(model, x)
+        rng = numpy.random.RandomState(3)
+        x = jnp.asarray(rng.randint(0, 256, (batch, 3, size, size))
+                        .astype(numpy.uint8))
+        calibrate_corner_bias_device(model, x)
 
     kw = {} if cluster_cap is None else {"cluster_cap": cluster_cap}
     fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
@@ -111,6 +133,11 @@ def main(argv=None):
                    help="comma-separated variant tags to run")
     p.add_argument("--cluster-cap", type=int, default=None,
                    help="candidate cap for v2 device corner clustering")
+    p.add_argument("--models-dir", default=None,
+                   help="directory of trained checkpoints named <tag>.mdl.gz;"
+                        " a variant with a checkpoint benches those weights "
+                        "on training-distribution inputs instead of the "
+                        "perturbed-head calibration")
     args = p.parse_args(argv)
 
     import os
@@ -123,9 +150,14 @@ def main(argv=None):
         if only and row[0] not in only:
             continue
         try:
-            res = run_variant(*row, cluster_cap=args.cluster_cap)
+            res = run_variant(*row, cluster_cap=args.cluster_cap,
+                              models_dir=args.models_dir)
             if args.cluster_cap is not None:
                 res["cluster_cap"] = args.cluster_cap
+            if args.models_dir:
+                import os as _o
+                res["weights"] = ("trained" if _o.path.exists(_o.path.join(
+                    args.models_dir, row[0] + ".mdl.gz")) else "calibrated")
         except Exception as e:  # noqa: BLE001 — record and continue
             res = {"metric": row[0], "error": repr(e)[:300]}
         line = json.dumps(res)

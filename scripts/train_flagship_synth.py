@@ -60,6 +60,14 @@ def main(argv=None):
     p.add_argument("--dist", choices=("easy", "hard"), default="easy",
                    help="hard = round-3 graded distribution (scale extremes,"
                         " 1:4 aspects, crowding, truncation; synthetic.py)")
+    p.add_argument("--family", type=int, choices=(34, 101), default=34,
+                   help="trunk family for --variant builds (zoo.denet34/101)")
+    p.add_argument("--variant", choices=("skip", "wide"), default="skip",
+                   help="zoo head variant; combined with --v2 this selects "
+                        "the published model rows (BASELINE.md)")
+    p.add_argument("--v2", action="store_true",
+                   help="v2 head (corner clustering + jointfit + bounded "
+                        "IoU) for the selected family/variant")
     p.add_argument("--dnd", default=None,
                    help="override the final DND desc token for the v1-vs-v2 "
                         "feature matrix, e.g. 'DND[0.5,1,0]' (plain), "
@@ -82,6 +90,11 @@ def main(argv=None):
                         "1234) on this many batches after training; with "
                         "--eval-soft-nms a second soft-NMS pass is added")
     p.add_argument("--eval-soft-nms", action="store_true")
+    p.add_argument("--scan", type=int, default=0,
+                   help="device-data mode only: run this many optimizer "
+                        "steps per dispatch via Trainer.train_steps "
+                        "(lax.scan over the step body; lr is constant "
+                        "within a chunk — boundaries land <=scan-1 late)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -98,9 +111,11 @@ def main(argv=None):
                                          batch_size=args.batch)
     else:
         desc = None
-        if args.dnd is not None or args.dns is not None:
+        if (args.dnd is not None or args.dns is not None
+                or args.variant != "skip" or args.family != 34 or args.v2):
             from denet_tpu.models import zoo
-            desc = zoo.denet34("skip")
+            desc = (zoo.denet34 if args.family == 34
+                    else zoo.denet101)(args.variant, v2=args.v2)
             assert desc[-1].startswith("DND")
             if args.dnd is not None:
                 desc = desc[:-1] + [args.dnd]
@@ -191,6 +206,45 @@ def main(argv=None):
     # are relay round trips that serialize the loop (PERF.md round 2)
     K = trainer.cost_read_interval
     t0 = time.time()
+    if args.scan > 0:
+        assert pool is None, "--scan requires --data-mode device"
+        sk = args.scan
+        prev_totals, prev_it = None, 0
+        it = 0
+        while it < args.steps:
+            n = min(sk, args.steps - it)
+            chunk = []
+            for j in range(n):
+                metas, geo = gen_batch()
+                chunk.append((geo, metas))
+            totals = trainer.train_steps(chunk, 0, lr_at(it),
+                                         [0.9, 0.999], 1e-4)
+            if prev_totals is not None:   # read trails one chunk: overlap
+                vals = numpy.asarray(prev_totals)
+                if not numpy.isfinite(vals).all():
+                    bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
+                    print("ABORT: non-finite cost at step %d" % (
+                        prev_it + bad))
+                    return 1
+                if prev_it % 512 < sk:
+                    dt = time.time() - t0
+                    print("step %5d  cost %.4f  (%.1f img/s)" % (
+                        prev_it, float(vals[-1]),
+                        args.batch * prev_it / dt), flush=True)
+            prev_totals, prev_it = totals, it
+            it += n
+        vals = numpy.asarray(prev_totals)
+        if not numpy.isfinite(vals).all():
+            bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
+            print("ABORT: non-finite cost at step %d" % (prev_it + bad))
+            return 1
+        print("final cost %.4f" % float(vals[-1]), flush=True)
+        print("total %.1fs" % (time.time() - t0), flush=True)
+        model_mod.save_to_file(model, args.out)
+        print("saved %s" % args.out, flush=True)
+        if args.eval_batches > 0:
+            _run_final_eval(args, model)
+        return 0
     pending = []
     if pool is None:
         metas, geo = gen_batch()
@@ -238,27 +292,31 @@ def main(argv=None):
     print("saved %s" % args.out, flush=True)
 
     if args.eval_batches > 0:
-        from denet_tpu.data.synthetic import make_batch, make_batch_hard
-        from eval_flagship_synth import run_eval
-
-        gen = make_batch_hard if args.dist == "hard" else make_batch
-        erng = numpy.random.RandomState(1234)      # held-out seed
-        batches = [gen(erng, args.batch, args.size, args.class_num)
-                   for _ in range(args.eval_batches)]
-        detect_layer = model.layers[-1]
-        passes = [("hard-NMS", 0)]
-        if args.eval_soft_nms:
-            passes.append(("soft-NMS", 1))
-        for tag, soft in passes:
-            dets = []
-            for xs, metas in batches:
-                dets += detect_layer.get_detections(
-                    model, xs, metas, {"prThreshold": 0.05,
-                                       "nmsThreshold": 0.5,
-                                       "useSoftNMS": soft})
-            print("eval[%s]:" % tag, flush=True)
-            run_eval(model, dets, args.size, tag="  ")
+        _run_final_eval(args, model)
     return 0
+
+
+def _run_final_eval(args, model):
+    from denet_tpu.data.synthetic import make_batch, make_batch_hard
+    from eval_flagship_synth import run_eval
+
+    gen = make_batch_hard if args.dist == "hard" else make_batch
+    erng = numpy.random.RandomState(1234)      # held-out seed
+    batches = [gen(erng, args.batch, args.size, args.class_num)
+               for _ in range(args.eval_batches)]
+    detect_layer = model.layers[-1]
+    passes = [("hard-NMS", 0)]
+    if args.eval_soft_nms:
+        passes.append(("soft-NMS", 1))
+    for tag, soft in passes:
+        dets = []
+        for xs, metas in batches:
+            dets += detect_layer.get_detections(
+                model, xs, metas, {"prThreshold": 0.05,
+                                   "nmsThreshold": 0.5,
+                                   "useSoftNMS": soft})
+        print("eval[%s]:" % tag, flush=True)
+        run_eval(model, dets, args.size, tag="  ")
 
 
 if __name__ == "__main__":

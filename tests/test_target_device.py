@@ -240,3 +240,47 @@ def test_input_fn_fused_rendering_training():
     assert all(numpy.isfinite(c) for c in costs)
     assert costs[-1] < costs[0] * 0.9
     assert run() == costs           # deterministic device rng chain
+
+
+def test_scan_steps_bit_identical_to_sequential():
+    """Trainer.train_steps (lax.scan over K steps, one dispatch) reproduces
+    K sequential train_step calls in device-target mode: the rng chain, BN
+    state, solver slots and params all thread the scan carry.  Costs are
+    bit-equal; params are compared at float tolerance (the scan body is a
+    separate XLA compilation, so fusion order may differ in the last ulp)."""
+    from denet_tpu.data.synthetic_device import (make_gt_batch,
+                                                 make_render_fn)
+
+    def make_batches(k):
+        rng = numpy.random.RandomState(4)
+        out = []
+        for _ in range(k):
+            metas, boxes, classes, counts = make_gt_batch(rng, 2, 16, 3)
+            out.append(((boxes, classes, counts), metas))
+        return out
+
+    def build():
+        model = build_model(use_bbox_reg=True)
+        render = make_render_fn(2, 16, 3, max_boxes=5)
+        return model, Trainer(model, solver_mode="nesterov", seed=5,
+                              device_targets=True, gt_cap=8,
+                              input_fn=lambda key, g: render(key, *g))
+
+    k = 6
+    model_a, tr_a = build()
+    seq = [tr_a.train_step(x, m, 0, it, 0.05, [0.9, 0.999], 1e-4)[0]
+           for it, (x, m) in enumerate(make_batches(k))]
+
+    model_b, tr_b = build()
+    totals = numpy.asarray(tr_b.train_steps(make_batches(k), 0, 0.05,
+                                            [0.9, 0.999], 1e-4))
+    assert totals.shape == (k,)
+    assert numpy.allclose(totals, seq, atol=0, rtol=0), (totals, seq)
+    for pa, pb in zip(model_a.params, model_b.params):
+        for ka in pa:
+            if ka == "layers":
+                continue
+            assert numpy.allclose(numpy.asarray(pa[ka], dtype=numpy.float64),
+                                  numpy.asarray(pb[ka], dtype=numpy.float64),
+                                  rtol=1e-6, atol=1e-7), ka
+    assert model_b.iteration == k   # train_steps advances the counter

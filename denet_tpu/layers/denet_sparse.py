@@ -123,10 +123,31 @@ class DeNetSparseLayer(Layer):
         from denet_tpu.ops.corner_search_device import corner_search
         from denet_tpu.ops.target_device import select_samples
 
-        assert ctx.train and "gt_bbox" in ctx.aux, \
-            "sample_bbox aux input required outside device-target training"
         corner_pr = ctx.collect[self.corner_layer.layer_index]["corner_pr"]
         diff = jax.lax.stop_gradient(corner_pr[:, 0] - corner_pr[:, 1])
+        if not ctx.train:
+            # eval-mode plain forward (e.g. the model-update-bn stats pass,
+            # reference denet/model/update_bn.py): inference selection —
+            # device corner search [+ v2 clustering], no gt injection.  Same
+            # selection as Model.build_full_detect_fn, traced in-layer so a
+            # whole-model forward works without a pre-computed sample_bbox.
+            if self.nms_threshold < 1.0:
+                from denet_tpu.ops.cluster_device import cluster_candidates
+                cap = min(10 * self.sample_count, self.cluster_device_cap)
+                cand, pr, count = corner_search(
+                    diff, self.corner_threshold, self.sample_num,
+                    out_count=cap, local_max=self.local_max)
+                cand, _pr, _cnt = cluster_candidates(
+                    cand, pr, count, self.nms_threshold, self.sample_count,
+                    cap)
+            else:
+                cand, _pr, _cnt = corner_search(
+                    diff, self.corner_threshold, self.sample_num,
+                    local_max=self.local_max)
+            return jax.lax.stop_gradient(
+                cand.reshape(-1, self.sample_num, self.sample_num, 4))
+        assert "gt_bbox" in ctx.aux, \
+            "sample_bbox aux input required outside device-target training"
         if self.nms_threshold < 1.0:
             from denet_tpu.ops.cluster_device import cluster_candidates
             cap = min(10 * self.sample_count, self.cluster_train_cap)

@@ -241,10 +241,12 @@ def _scan_section(args, model, render, geos, scan_k, iters, dev_hz):
         # standalone run: the compute-matched reference is the fused-render
         # per-step rate measured through the SAME trainer's step jit
         prep = trainer3.prepare_targets(None, chunks[0][0][1])
+        # warmup MUST block: the float() read pays the one-time axon d2h
+        # link transition outside the timed window (an unread warmup left
+        # the first read inside the window — 6.6 img/s artifact)
         for it in range(2):
             trainer3.train_step(chunks[0][0][0], chunks[0][0][1], 0, it,
-                                0.01, [0.9, 0.999], 1e-4, prepared=prep,
-                                block=False)
+                                0.01, [0.9, 0.999], 1e-4, prepared=prep)
         t0 = time.time()
         for it in range(iters):
             total, _ = trainer3.train_step(

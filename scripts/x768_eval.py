@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--eval-batches", type=int, default=12)
     p.add_argument("--bench-iters", type=int, default=60)
     p.add_argument("--dist", choices=("easy", "hard"), default="hard")
+    p.add_argument("--tag", default="denet34_skip_x768_trained",
+                   help="metric label for the throughput JSON line")
+    p.add_argument("--baseline-hz", type=float, default=11.0)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -104,9 +107,10 @@ def main(argv=None):
     numpy.asarray(dets)[:1]
     dt = time.time() - t0
     hz = 8 * args.bench_iters / dt
-    print(json.dumps({"metric": "denet34_skip_x768_trained",
+    print(json.dumps({"metric": args.tag,
                       "value": round(hz, 2), "unit": "images/sec",
-                      "vs_baseline": round(hz / 11.0, 3)}), flush=True)
+                      "vs_baseline": round(hz / args.baseline_hz, 3)}),
+          flush=True)
     return 0
 
 

@@ -298,3 +298,39 @@ def test_center_corner_model_end_to_end():
         assert "detections" in r and "meta" in r
         for pr, cls, bbox in r["detections"]:
             assert 0.0 <= pr <= 1.0 and 0 <= cls < 3 and len(bbox) == 4
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_update_bn_stats_on_detection_model(v2):
+    """model-update-bn's stats pass is a plain eval-mode forward; on a
+    detection model the DNS layer must fall back to the inference-style
+    device selection (corner search [+ v2 clustering], no gt) instead of
+    requiring training aux — this is the x768 BN-recalibration path
+    (reference denet/model/update_bn.py run on detection checkpoints,
+    README.md:144-145)."""
+    from denet_tpu.apps.update_bn import compute_bn_stats
+
+    numpy.random.seed(41)
+    random.seed(41)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    dns = "DNS[2,4,0.01,0.1,2,0.7]" if v2 else "DNS[2,4,0.01,0.1]"
+    desc = ["C[8,3]", "BN", "A", "DNC[16]", dns,
+            "C[16,1]", "BN", "A", "DND[0.5,1.0]"]
+    model.build(desc, (3, 16, 16), border_mode="half",
+                weight_init=["he-forward"])
+    # a couple of train steps so corners carry signal (and BN EMAs move)
+    x, metas = synthetic_batch()
+    trainer = Trainer(model, solver_mode="sgd", seed=5)
+    for it in range(2):
+        trainer.train_step(x, metas, 0, it, 0.02, [0.9, 0.999], 0.0)
+
+    data_x = numpy.random.uniform(0, 1, (4, 3, 16, 16)).astype(numpy.float32)
+    bn_layers, results = compute_bn_stats(model, data_x, 2)
+    assert len(bn_layers) == 2
+    for (layer, state), (mean, stdinv) in zip(bn_layers, results):
+        assert numpy.all(numpy.isfinite(mean))
+        assert numpy.all(numpy.isfinite(stdinv)) and numpy.all(stdinv > 0)
+        assert mean.shape == numpy.asarray(state["mean"]).shape

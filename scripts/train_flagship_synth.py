@@ -81,6 +81,13 @@ def main(argv=None):
                    help="transplant trunk+corner-head params from a "
                         "checkpoint whose head config may differ (the final "
                         "DND head is re-initialized unless identical)")
+    p.add_argument("--init-prefix", default=None,
+                   help="transplant the longest shape-matched prefix of "
+                        "param-bearing layers from a checkpoint with a "
+                        "DIFFERENT desc (e.g. warm-start a wide trunk from "
+                        "the skip flagship: the resnet stages and the first "
+                        "two upsample convs share shapes; copy stops at the "
+                        "first type/shape mismatch)")
     p.add_argument("--head-copy", type=int, default=1,
                    help="0 = always re-initialize the DND head even when "
                         "--init-trunk has an identical head shape (fair "
@@ -147,6 +154,42 @@ def main(argv=None):
         print("transplanted layers 1..%d from %s (head %s)" % (
             end - 1, args.init_trunk,
             "copied" if same_head else "re-initialized"), flush=True)
+
+    if args.init_prefix:
+        # warm-start across DIFFERENT descs: walk both param-bearing layer
+        # sequences in order and copy while (type, param/state pytree shape)
+        # match — e.g. skip flagship -> wide trunk shares the stem, all four
+        # resnet stages and the first two upsample convs; the wide-only third
+        # upsample, DNC and head stay at init.  Param-less layers (SKIPSRC,
+        # A, P, SPLIT, ...) are alignment-transparent.
+        import jax as _jax
+        src = model_mod.load_from_file(args.init_prefix,
+                                       batch_size=args.batch)
+
+        def bearing(m):
+            out = []
+            for i in range(1, len(m.layers)):
+                leaves = (_jax.tree_util.tree_leaves(m.params[i]) +
+                          _jax.tree_util.tree_leaves(m.state[i]))
+                if leaves:
+                    out.append(i)
+            return out
+
+        def sig(m, i):
+            shapes = _jax.tree_util.tree_map(lambda a: numpy.shape(a),
+                                             (m.params[i], m.state[i]))
+            return (m.layers[i].type_name, str(shapes))
+
+        copied = []
+        for si, ti in zip(bearing(src), bearing(model)):
+            if sig(src, si) != sig(model, ti):
+                break
+            model.params[ti] = src.params[si]
+            model.state[ti] = src.state[si]
+            copied.append(ti)
+        print("prefix-transplanted %d param-bearing layers from %s "
+              "(target indices %s)" % (len(copied), args.init_prefix,
+                                       copied), flush=True)
 
     model.compute_dtype = jnp.bfloat16
     model.use_split_mode = False   # fits HBM; +28% step (PERF.md)

@@ -81,6 +81,11 @@ def main(argv=None):
                    help="transplant trunk+corner-head params from a "
                         "checkpoint whose head config may differ (the final "
                         "DND head is re-initialized unless identical)")
+    p.add_argument("--dnc", default=None,
+                   help="override the DNC desc token, e.g. 'DNC[48,100]' to "
+                        "re-balance the corner cost factor for short "
+                        "synthetic schedules (the reference's wide factor "
+                        "400 is tuned for 90-epoch COCO runs)")
     p.add_argument("--init-prefix", default=None,
                    help="transplant the longest shape-matched prefix of "
                         "param-bearing layers from a checkpoint with a "
@@ -130,6 +135,10 @@ def main(argv=None):
                 di = [i for i, t in enumerate(desc)
                       if t.startswith("DNS")][0]
                 desc[di] = args.dns
+            if args.dnc is not None:
+                ci = [i for i, t in enumerate(desc)
+                      if t.startswith("DNC")][0]
+                desc[ci] = args.dnc
         model = _build_detect_model(args.batch, args.size,
                                     class_num=args.class_num, variant="skip",
                                     desc_override=desc)

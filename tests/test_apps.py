@@ -239,3 +239,33 @@ def test_predict_segment_mode(tmp_path, capsys):
     for i in range(2):
         assert os.path.isfile(str(tmp_path / ("seg%d_predict.png" % i)))
         assert os.path.isfile(str(tmp_path / ("seg%d_true.png" % i)))
+def test_detect_resize_and_roi_surgery(tmp_path):
+    """The x768 recipe (reference README.md:140-148) on a tiny model:
+    model-modify --image-size + --modify-layer denet-sparse sample_num=N,
+    then detection inference runs at the new resolution/RoI count."""
+    import numpy
+    from tests.test_detection import build_detect_model
+
+    numpy.random.seed(2)
+    model = build_detect_model(use_bbox_reg=True)
+    fname = str(tmp_path / "d.mdl.gz")
+    model_mod.save_to_file(model, fname)
+
+    out = str(tmp_path / "d768.mdl.gz")
+    modify_app.main(["--input", fname, "--output", out,
+                     "--image-size", "32", "32",
+                     "--modify-layer", "denet-sparse", "sample_num=3"])
+    m = model_mod.load_from_file(out, batch_size=2)
+    assert tuple(m.data_shape) == (3, 32, 32)
+    sparse = [l for l in m.layers if l.type_name == "denet-sparse"][0]
+    assert sparse.sample_num == 3
+
+    x = numpy.random.uniform(0, 1, (2, 3, 32, 32)).astype(numpy.float32)
+    metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6)], "class": [0]}] * 2
+    dets = m.layers[-1].get_detections(m, x, metas, {"prThreshold": 1e-4,
+                                                     "nmsThreshold": 0.5})
+    assert len(dets) == 2
+    for r in dets:
+        for pr, cls, bbox in r["detections"]:
+            assert 0 <= cls < m.class_num
+            assert all(numpy.isfinite(v) for v in bbox)

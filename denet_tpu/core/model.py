@@ -603,6 +603,10 @@ class Model:
 
         from denet_tpu.layers.registry import layer_types
         self.layers = [InitialLayer(self.get_input_shape())]
+        # re-import into an existing Model replaces the whole tree: drop every
+        # params-derived cache so predict/detect can't serve the old weights
+        self.invalidate_cached_params()
+        self._predict_fn = None
         self.params = [{}]
         self.state = [{}]
         for layer_json in json_layers[layer_start:layer_end]:

@@ -380,3 +380,32 @@ def test_inference_params_precast_is_bitwise_identical():
     # no compute dtype -> passthrough
     model.compute_dtype = None
     assert model.inference_params() is model.params
+
+
+def test_import_json_invalidates_inference_cache():
+    """Re-importing a checkpoint into an existing Model must drop the cached
+    cast param tree and the cached predict fn (ADVICE round 2 hardening:
+    invalidate at the import boundary, not just at caller mutation sites)."""
+    from denet_tpu.core.model import Model
+
+    numpy.random.seed(32)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 3
+    model.class_labels = {str(i): i for i in range(3)}
+    model.build(["C.B[8,3]", "BN", "A", "R"], (3, 16, 16),
+                border_mode="half", weight_init=["he-forward"])
+    model.compute_dtype = jnp.bfloat16
+    pi = model.inference_params()
+    model._predict_fn = object()  # sentinel: any cached jit must be dropped
+
+    json_obj = model.export_json()
+    for row in json_obj["layers"]:
+        if row["type"] == "conv":
+            row["weight"] = numpy.zeros_like(numpy.asarray(row["weight"]))
+    model.import_json(json_obj)
+
+    assert model._predict_fn is None
+    pi2 = model.inference_params()
+    assert pi2 is not pi
+    assert not numpy.asarray(pi2[1]["weight"]).any()

@@ -93,6 +93,16 @@ def calibrate_corner_bias_device(model, x, target_corners=64):
 
 
 def main():
+    # Preempt the background training/probe queue for the duration of the
+    # run: the relay serves ONE chip, and concurrent timed windows skew (or
+    # stall) both sides.  Queue scripts poll yield_to_bench() between step
+    # blocks and pause while this lock is fresh.
+    from denet_tpu.utils.chiplock import bench_lock
+    with bench_lock():
+        return _main()
+
+
+def _main():
     # space-to-depth stem: mathematically equivalent rewrite of the 7x7/s2
     # 3-channel stem conv (one bf16-ULP accumulation-order difference;
     # fwd+grad parity tested) — 6% pipeline win, see PERF.md

@@ -1,0 +1,65 @@
+"""Cooperative single-chip arbitration between the benchmark and the
+background training/probe queue.
+
+The axon relay exposes ONE physical TPU; two processes timing or training
+concurrently skew each other (and long concurrent runs have stalled the
+relay outright — PERF.md round-3 "stalled mid-run on the relay").  The
+driver's end-of-round ``bench.py`` must see an idle chip, so:
+
+* ``bench_lock()`` — context manager used by bench.py: touches a lock file
+  for the duration of the timed run.
+* ``yield_to_bench()`` — called by queue scripts between step blocks /
+  model rows: sleeps while a FRESH lock exists (stale locks — crashed
+  bench — are ignored after ``stale_s``).
+
+Purely advisory (no kernel locking): both sides poll a timestamped file,
+which is all the durability /tmp offers on this machine anyway.
+"""
+import os
+import time
+
+LOCK_PATH = "/tmp/denet_bench.lock"
+STALE_S = 20 * 60
+MAX_WAIT_S = 30 * 60
+
+
+class bench_lock:
+    """Hold the chip for a timed benchmark window."""
+
+    def __init__(self, path=LOCK_PATH):
+        self.path = path
+
+    def __enter__(self):
+        with open(self.path, "w") as f:
+            f.write("%d %f" % (os.getpid(), time.time()))
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
+
+
+def lock_age(path=LOCK_PATH):
+    """Age of the lock in seconds, or None if absent."""
+    try:
+        return time.time() - os.path.getmtime(path)
+    except OSError:
+        return None
+
+
+def yield_to_bench(path=LOCK_PATH, stale_s=STALE_S, max_wait_s=MAX_WAIT_S,
+                   poll_s=5.0, log=None):
+    """Block while a fresh bench lock exists.  Returns the seconds waited."""
+    waited = 0.0
+    while waited < max_wait_s:
+        age = lock_age(path)
+        if age is None or age > stale_s:
+            return waited
+        if log is not None and waited == 0.0:
+            log("chip yield: bench lock present (age %.0fs), pausing" % age)
+        time.sleep(poll_s)
+        waited += poll_s
+    return waited

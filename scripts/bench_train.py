@@ -51,6 +51,8 @@ def main(argv=None):
     logging.init(level="warning")
 
     import os
+    from denet_tpu.utils import chiplock
+    chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
     batch, size = args.batch, args.size
     model = _build_detect_model(batch, size, class_num=80, variant="skip")
     model.compute_dtype = jnp.bfloat16

@@ -145,10 +145,12 @@ def main(argv=None):
     import denet_tpu.utils.logging as logging
     logging.init(level="warning")
 
+    from denet_tpu.utils import chiplock
     only = set(args.only.split(",")) if args.only else None
     for row in VARIANTS:
         if only and row[0] not in only:
             continue
+        chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         try:
             res = run_variant(*row, cluster_cap=args.cluster_cap,
                               models_dir=args.models_dir)

@@ -105,8 +105,10 @@ def main(argv=None):
                                               cluster_cap=cap)
         r = fns[cap](params, model.state, x_dev)
         numpy.asarray(r[1])[:1]          # warm + drain outside windows
+    from denet_tpu.utils import chiplock
     acc = {cap: 0.0 for cap in caps}
     for _w in range(args.windows):
+        chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         for cap in caps:
             t0 = time.time()
             for _ in range(args.iters):

@@ -35,6 +35,7 @@ import numpy
 
 
 from denet_tpu.data.synthetic import make_uint8_batch  # noqa: E402
+from denet_tpu.utils import chiplock  # noqa: E402
 
 
 def main(argv=None):
@@ -264,6 +265,7 @@ def main(argv=None):
         prev_totals, prev_it = None, 0
         it = 0
         while it < args.steps:
+            chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
             n = min(sk, args.steps - it)
             chunk = []
             for j in range(n):
@@ -319,6 +321,7 @@ def main(argv=None):
             prep = trainer.prepare_targets(nxt[0], nxt[1])
         pending.append(fut[0])
         if len(pending) >= K:
+            chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
             vals = numpy.asarray(jnp.stack(pending))
             pending = []
             if not numpy.isfinite(vals).all():

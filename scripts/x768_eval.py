@@ -80,7 +80,9 @@ def main(argv=None):
     erng = numpy.random.RandomState(1234)
     detections = []
     t0 = time.time()
+    from denet_tpu.utils import chiplock
     for bi in range(args.eval_batches):
+        chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         xs, metas = gen(erng, 8, args.size, model.class_num)
         detections += detect_layer.get_detections(
             model, xs, metas, {"prThreshold": 0.05, "nmsThreshold": 0.5})

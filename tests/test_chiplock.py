@@ -1,0 +1,46 @@
+"""Cooperative chip arbitration (utils/chiplock.py): bench.py holds a lock
+for its timed window; queue scripts pause between step blocks while it is
+fresh and ignore stale locks from crashed benches."""
+import os
+import time
+
+from denet_tpu.utils import chiplock
+
+
+def test_lock_lifecycle(tmp_path):
+    path = str(tmp_path / "bench.lock")
+    assert chiplock.lock_age(path) is None
+    with chiplock.bench_lock(path):
+        age = chiplock.lock_age(path)
+        assert age is not None and age < 5.0
+    assert chiplock.lock_age(path) is None
+    assert not os.path.exists(path)
+
+
+def test_yield_no_lock_returns_immediately(tmp_path):
+    path = str(tmp_path / "bench.lock")
+    t0 = time.time()
+    assert chiplock.yield_to_bench(path) == 0.0
+    assert time.time() - t0 < 0.5
+
+
+def test_yield_waits_while_fresh_then_resumes(tmp_path):
+    path = str(tmp_path / "bench.lock")
+    with open(path, "w") as f:
+        f.write("held")
+    msgs = []
+    waited = chiplock.yield_to_bench(path, poll_s=0.05, max_wait_s=0.2,
+                                     log=msgs.append)
+    assert waited >= 0.2          # held for the whole (tiny) budget
+    assert msgs and "bench lock" in msgs[0]
+    os.remove(path)
+    assert chiplock.yield_to_bench(path, poll_s=0.05) == 0.0
+
+
+def test_stale_lock_ignored(tmp_path):
+    path = str(tmp_path / "bench.lock")
+    with open(path, "w") as f:
+        f.write("crashed bench")
+    old = time.time() - 3600
+    os.utime(path, (old, old))
+    assert chiplock.yield_to_bench(path, stale_s=60, poll_s=0.05) == 0.0

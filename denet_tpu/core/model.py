@@ -348,7 +348,8 @@ class Model:
 
     def build_full_detect_fn(self, detect_layer, pr_threshold, nms_threshold,
                              corner_k=256, top_m=128, top_n=100,
-                             use_soft_nms=False, cluster_cap=6144):
+                             use_soft_nms=False, cluster_cap=None,
+                             return_cand_count=False):
         """ONE jitted function for the whole detection inference step:
         trunk + corner head -> device corner search [-> device corner
         clustering for v2 models] -> sparse RoI gather + detect head ->
@@ -360,6 +361,11 @@ class Model:
         ``cluster_cap`` bounds the candidates entering device clustering
         (the N^2 adjacency of ops/cluster_device; the reference's host cap
         is 10*sample_count, 23040 for the wide config — a 530MB bitmap).
+        ``None`` resolves to ``self.cluster_cap`` when set (the calibrated
+        serving cap from calibrate_cluster_cap) else the legacy 6144
+        default.  ``return_cand_count=True`` appends the pre-clustering
+        candidate count (B,) to the outputs so callers can detect cap
+        saturation (count == cap) and escalate to the reference cap.
         """
         from denet_tpu.ops import nms_device
         from denet_tpu.ops.corner_search_device import corner_search
@@ -368,6 +374,8 @@ class Model:
         corner_index = sparse.corner_layer.layer_index
         sn = sparse.sample_num
         clustering = sparse.nms_threshold < 1.0
+        if cluster_cap is None:
+            cluster_cap = getattr(self, "cluster_cap", None) or 6144
 
         def run(params, state, x):
             ctx = Ctx(train=False, compute_dtype=self.compute_dtype)
@@ -387,11 +395,14 @@ class Model:
                     out_count=cap, local_max=sparse.local_max)
                 bbox, pr, count = cluster_candidates(
                     bbox_c, pr_c, count_c, sparse.nms_threshold, sn * sn,
-                    cap)
+                    cap, distinct_second=getattr(sparse, "cluster_distinct2",
+                                                 False))
+                cand_count = count_c
             else:
                 bbox, pr, count = corner_search(diff, sparse.corner_threshold,
                                                 sn, corner_k,
                                                 local_max=sparse.local_max)
+                cand_count = count
             bbox4 = bbox.reshape(-1, sn, sn, 4)
 
             ctx2 = Ctx(train=False, compute_dtype=self.compute_dtype,
@@ -406,9 +417,55 @@ class Model:
                 outs["det_pr"], outs["fitness"], final_bbox, count,
                 pr_threshold=pr_threshold, nms_threshold=nms_threshold,
                 top_m=top_m, top_n=top_n, use_soft_nms=use_soft_nms)
+            if return_cand_count:
+                return dets, det_count, cand_count
             return dets, det_count
 
         return _keepalive(jax.jit(run))
+
+    def calibrate_cluster_cap(self, detect_layer, batches, margin=1.25):
+        """Measure pre-clustering candidate counts on representative batches
+        and derive + install the serving cluster cap (``self.cluster_cap``),
+        per the ops/cluster_device.auto_cap policy.  Returns (cap, max_count).
+
+        The counting jit runs only trunk + corner head + corner search at
+        the reference-faithful cap (10*sample_count — denet_sparse.cc's
+        admission bound), so counts below it are exact.  One-time
+        calibration cost, standard serving practice (the int8 path already
+        calibrates activation scales the same way)."""
+        from denet_tpu.ops.cluster_device import auto_cap
+        from denet_tpu.ops.corner_search_device import corner_search
+
+        sparse = detect_layer.sparse_layer
+        assert sparse.nms_threshold < 1.0, \
+            "cluster-cap calibration applies to v2 (clustering) models only"
+        corner_index = sparse.corner_layer.layer_index
+        sn = sparse.sample_num
+        ref_cap = 10 * sn * sn
+
+        def run(params, state, x):
+            ctx = Ctx(train=False, compute_dtype=self.compute_dtype)
+            outputs = {0: self.prep_input(x, ctx)}
+            for i in range(1, corner_index + 1):
+                y, _ = self.layers[i].apply(params[i], state[i], outputs,
+                                            ctx)
+                outputs[i] = y
+            corner_pr = ctx.collect[corner_index]["corner_pr"]
+            diff = corner_pr[:, 0] - corner_pr[:, 1]
+            _, _, count = corner_search(
+                diff, sparse.corner_threshold, sn, out_count=ref_cap,
+                local_max=sparse.local_max)
+            return count
+
+        fn = _keepalive(jax.jit(run))
+        params = self.inference_params()
+        max_count = 0
+        for x in batches:
+            counts = numpy.asarray(fn(params, self.state, jnp.asarray(x)))
+            max_count = max(max_count, int(counts.max()))
+        cap = auto_cap(max_count, sn * sn, margin)
+        self.cluster_cap = cap
+        return cap, max_count
 
     def build_detect_nms_fn(self, detect_layer, pr_threshold, nms_threshold,
                             top_m=128, top_n=100, use_soft_nms=False):

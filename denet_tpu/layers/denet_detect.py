@@ -485,12 +485,18 @@ class DeNetDetectLayer(Layer):
         use_int8 = params.get("useInt8", 0) == 1
         # clusterCap bounds the candidates entering device corner clustering
         # (v2 models only; default in build_full_detect_fn).  PERF.md: the
-        # N^2 clustering cost scales quadratically with the cap while mAP
-        # is flat from ~4*sample_num^2 up, so serving configs may lower it.
-        cluster_cap = int(params.get("clusterCap", 6144))
+        # N^2 clustering cost scales quadratically with the cap while any
+        # cap >= the observed candidate count is bitwise lossless, so the
+        # default is the calibrated serving cap when present
+        # (Model.calibrate_cluster_cap); saturated batches escalate to the
+        # reference cap below, so results NEVER depend on the cap choice.
+        cluster_cap = int(params.get("clusterCap",
+                                     getattr(model, "cluster_cap", None)
+                                     or 6144))
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
-               use_int8, cluster_cap)
+               use_int8, cluster_cap,
+               getattr(self.sparse_layer, "cluster_distinct2", False))
         if use_int8:
             # int8 PTQ serving (serve/quant.py): self-calibrates activation
             # scales on the first calibBatches serving batches (default 1),
@@ -536,18 +542,35 @@ class DeNetDetectLayer(Layer):
                 self._full_fn[key] = (model.params, _int8_fn)
             fn = self._full_fn[key][1]
         else:
+            # saturation guard: a capped run whose candidate count hits the
+            # cap may have dropped candidates the reference cap would keep —
+            # return the count alongside and escalate saturated batches
+            ref_cap = 10 * self.sparse_layer.sample_num ** 2
+            guard = (self.sparse_layer.nms_threshold < 1.0
+                     and cluster_cap < ref_cap)
             first_detect = key not in self._full_fn
             if first_detect:
                 logging.info("Building fused device detection function")
                 self._full_fn[key] = model.build_full_detect_fn(
                     self, pr_threshold, nms_threshold, corner_k=key[2],
                     top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms,
-                    cluster_cap=cluster_cap)
+                    cluster_cap=cluster_cap, return_cand_count=guard)
             fn = self._full_fn[key]
 
         timer = common.Timer()
-        dets, _det_count = fn(model.inference_params(), model.state,
-                              jnp.asarray(data_x))
+        outs = fn(model.inference_params(), model.state,
+                  jnp.asarray(data_x))
+        dets = outs[0]
+        if not use_int8 and guard:
+            cand_count = numpy.asarray(outs[2])
+            if int(cand_count.max()) >= cluster_cap:
+                logging.info(
+                    "cluster cap %d saturated (count %d); escalating batch "
+                    "to reference cap %d" % (cluster_cap,
+                                             int(cand_count.max()), ref_cap))
+                return self._get_detections_device(
+                    model, data_x, data_m, pr_threshold, nms_threshold,
+                    dict(params, clusterCap=ref_cap), use_soft_nms)
         detlists = nms_device.dets_to_lists(dets)   # one host transfer
         timer.mark()
 
@@ -641,17 +664,46 @@ class DeNetDetectLayer(Layer):
             return results
 
         model.ensure_on_device()
-        # same cache key layout as _get_detections_device (int8 flag last;
-        # the batched path always uses the bf16 pipeline)
+        # same cache key layout as _get_detections_device (the batched path
+        # always uses the bf16 pipeline; int8 flag kept for key parity).
+        # clusterCap follows the calibrated serving default; saturation
+        # escalation happens at conversion/drain time (the hot loop itself
+        # stays download-free): a batch whose candidate count hits the cap
+        # re-runs through a lazily-built reference-cap fn, so results never
+        # depend on the cap choice.
+        cluster_cap = int(params.get("clusterCap",
+                                     getattr(model, "cluster_cap", None)
+                                     or 6144))
+        ref_cap = 10 * self.sparse_layer.sample_num ** 2
+        guard = (self.sparse_layer.nms_threshold < 1.0
+                 and cluster_cap < ref_cap)
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
-               False)
+               False, cluster_cap,
+               getattr(self.sparse_layer, "cluster_distinct2", False))
         if key not in self._full_fn:
             logging.info("Building fused device detection function")
             self._full_fn[key] = model.build_full_detect_fn(
                 self, pr_threshold, nms_threshold, corner_k=key[2],
-                top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms)
+                top_m=key[3], top_n=key[4], use_soft_nms=use_soft_nms,
+                cluster_cap=cluster_cap, return_cand_count=guard)
         fn = self._full_fn[key]
+
+        esc = {"fn": None}
+
+        def detlists_for(dets, cnt, data_x):
+            if guard and int(numpy.asarray(cnt).max()) >= cluster_cap:
+                if esc["fn"] is None:
+                    logging.info(
+                        "cluster cap %d saturated; building reference-cap "
+                        "(%d) escalation fn" % (cluster_cap, ref_cap))
+                    esc["fn"] = model.build_full_detect_fn(
+                        self, pr_threshold, nms_threshold, corner_k=key[2],
+                        top_m=key[3], top_n=key[4],
+                        use_soft_nms=use_soft_nms, cluster_cap=ref_cap)
+                dets = esc["fn"](model.inference_params(), model.state,
+                                 jnp.asarray(data_x))[0]
+            return nms_device.dets_to_lists(numpy.asarray(dets))
 
         if stage_batches > 1:
             def staged(src):
@@ -680,34 +732,36 @@ class DeNetDetectLayer(Layer):
         n_images = 0
         if defer_downloads:
             acc = []
-            metas_acc = []
             for data_x, data_m in batches:
                 xj = jnp.asarray(data_x)                       # async upload
-                dets, _ = fn(model.inference_params(), model.state, xj)    # async compute
-                acc.append(dets)
-                metas_acc.append(data_m)
+                outs = fn(model.inference_params(), model.state, xj)  # async
+                acc.append((outs[0], outs[2] if guard else None,
+                            data_x if guard else None, data_m))
                 n_images += len(data_m)
             # drain: plain per-batch transfers (no new ops -> no compiles);
-            # every upload/compute above was already dispatched async
-            for dets, data_m in zip(acc, metas_acc):
-                detlists = nms_device.dets_to_lists(numpy.asarray(dets))
+            # every upload/compute above was already dispatched async.
+            # saturation escalation (rare, guard only) happens here, outside
+            # the dispatch loop
+            for dets, cnt, data_x, data_m in acc:
+                detlists = detlists_for(dets, cnt, data_x)
                 results += [{"detections": dl, "meta": m}
                             for dl, m in zip(detlists, data_m)]
         else:
-            pending = None  # (dets_device, data_m)
+            pending = None  # (dets_device, cand_count, data_x, data_m)
             for data_x, data_m in batches:
                 xj = jnp.asarray(data_x)                       # async upload
-                dets, _ = fn(model.inference_params(), model.state, xj)    # async compute
+                outs = fn(model.inference_params(), model.state, xj)  # async
                 if pending is not None:
-                    detlists = nms_device.dets_to_lists(pending[0])
+                    detlists = detlists_for(*pending[:3])
                     results += [{"detections": dl, "meta": m}
-                                for dl, m in zip(detlists, pending[1])]
-                pending = (dets, data_m)
+                                for dl, m in zip(detlists, pending[3])]
+                pending = (outs[0], outs[2] if guard else None,
+                           data_x if guard else None, data_m)
                 n_images += len(data_m)
             if pending is not None:
-                detlists = nms_device.dets_to_lists(pending[0])
+                detlists = detlists_for(*pending[:3])
                 results += [{"detections": dl, "meta": m}
-                            for dl, m in zip(detlists, pending[1])]
+                            for dl, m in zip(detlists, pending[3])]
 
         dt = timer.current()
         if n_images:

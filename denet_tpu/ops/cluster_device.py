@@ -96,10 +96,17 @@ def _connected_components(adj):
 
 
 def _cluster_one(bbox, pr, count, labels, threshold, output_num,
-                 input_num):
+                 input_num, distinct_second=False):
     """One image: bbox (N,4), pr (N,) sorted desc, count (), labels (N,)
     component ids -> (out_bbox (output_num,4), out_pr (output_num,),
-    out_count ())."""
+    out_count ()).
+
+    ``distinct_second``: experimental occlusion-aware quota variant — each
+    cluster's SECOND kept member is the member least overlapping the
+    representative (min IoU to rep) instead of the next-best by pr, so an
+    occluded object merged into its occluder's cluster keeps a candidate.
+    The reference redistributes purely by size/pr
+    (denet_sparse.cc:210-236); default False = reference-faithful."""
     n = bbox.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < jnp.minimum(count, input_num)
@@ -139,6 +146,35 @@ def _cluster_one(bbox, pr, count, labels, threshold, output_num,
     member_rank = jnp.zeros(n, dtype=jnp.int32).at[morder].set(
         pos - seg_start)
 
+    if distinct_second:
+        # promote the most-spatially-distinct member to rank 1: per cluster,
+        # the member (rank >= 1) minimizing IoU to the representative swaps
+        # into the second slot; members it displaces shift down one.
+        rep_bbox = bbox[labels]
+        dx = jnp.maximum(0.0, jnp.minimum(bbox[:, 2], rep_bbox[:, 2]) -
+                         jnp.maximum(bbox[:, 0], rep_bbox[:, 0]))
+        dy = jnp.maximum(0.0, jnp.minimum(bbox[:, 3], rep_bbox[:, 3]) -
+                         jnp.maximum(bbox[:, 1], rep_bbox[:, 1]))
+        inter = dx * dy
+        area = (bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1])
+        rep_area = (rep_bbox[:, 2] - rep_bbox[:, 0]) * \
+            (rep_bbox[:, 3] - rep_bbox[:, 1])
+        iou_rep = inter / jnp.maximum(area + rep_area - inter, 1e-12)
+        elig = valid & (member_rank >= 1)
+        key2 = jnp.where(elig, iou_rep, jnp.inf)
+        min_key = jnp.full(n, jnp.inf, key2.dtype).at[labels].min(key2)
+        is_min = elig & (key2 <= min_key[labels])
+        min_idx = jnp.full(n, n, jnp.int32).at[labels].min(
+            jnp.where(is_min, idx, n))
+        chosen = is_min & (idx == min_idx[labels])
+        chosen_rank = jnp.zeros(n, jnp.int32).at[labels].max(
+            jnp.where(chosen, member_rank, 0))
+        cr = chosen_rank[labels]
+        member_rank = jnp.where(
+            chosen, 1,
+            jnp.where((member_rank >= 1) & (member_rank < cr),
+                      member_rank + 1, member_rank))
+
     keep = valid & kept_rep[labels] & (member_rank < quota[labels])
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     keep = keep & (pos < output_num)
@@ -152,9 +188,10 @@ def _cluster_one(bbox, pr, count, labels, threshold, output_num,
     return out_bbox, out_pr, out_count
 
 
-@partial(jax.jit, static_argnames=("threshold", "output_num", "input_num"))
+@partial(jax.jit, static_argnames=("threshold", "output_num", "input_num",
+                                   "distinct_second"))
 def cluster_candidates(bbox, pr, count, threshold, output_num,
-                       input_num=None):
+                       input_num=None, distinct_second=False):
     """bbox (B,N,4) f32, pr (B,N) sorted desc per image, count (B,) i32 ->
     (bbox (B,output_num,4), pr (B,output_num), count (B,)) — the traced
     equivalent of ops.native.cluster_samples (output ordered by pr desc).
@@ -172,8 +209,31 @@ def cluster_candidates(bbox, pr, count, threshold, output_num,
     adj = jax.vmap(lambda b, v: _adjacency(b, v, threshold))(bbox, valid)
     labels = _connected_components(adj)
     return jax.vmap(lambda b, p, c, l: _cluster_one(
-        b, p, c, l, threshold, output_num, input_num))(bbox, pr, count,
-                                                       labels)
+        b, p, c, l, threshold, output_num, input_num,
+        distinct_second=distinct_second))(bbox, pr, count, labels)
+
+
+def auto_cap(max_count, sample_count, margin=1.25):
+    """Serving cluster-cap policy (PERF.md round-3 cluster-cap study): the
+    N^2 adjacency cost scales quadratically with the cap while any cap >=
+    the observed candidate count is bitwise lossless vs the
+    reference-faithful cap (10*sample_count, denet_sparse.cc:165-242 admits
+    10*sample_count candidates).  Returns the next power of two >=
+    margin*max_count (power-of-two caps keep the recompile set tiny if the
+    cap is ever re-derived), floored at sample_count (the clustering's own
+    output budget) and clamped to the reference cap.
+
+    ``max_count`` should come from Model.calibrate_cluster_cap (measured on
+    representative batches).  Serve-time saturation (count == cap) is
+    detectable and escalates to the reference cap — see
+    DeNetDetectLayer._get_detections_device."""
+    ref_cap = 10 * sample_count
+    need = max(int(numpy.ceil(margin * max(1, int(max_count)))),
+               int(sample_count))
+    cap = 1
+    while cap < need:
+        cap *= 2
+    return min(cap, ref_cap)
 
 
 def cluster_candidates_host_format(bbox, pr, count, threshold, input_num,

@@ -16,25 +16,48 @@ Purely advisory (no kernel locking): both sides poll a timestamped file,
 which is all the durability /tmp offers on this machine anyway.
 """
 import os
+import threading
 import time
 
 LOCK_PATH = "/tmp/denet_bench.lock"
 STALE_S = 20 * 60
 MAX_WAIT_S = 30 * 60
+KEEPALIVE_S = 60.0
 
 
 class bench_lock:
-    """Hold the chip for a timed benchmark window."""
+    """Hold the chip for a timed benchmark window.
+
+    A daemon keepalive thread refreshes the lock's mtime every KEEPALIVE_S
+    so benches longer than STALE_S (plausible: cold compiles + the 200s
+    link transition + many timed windows) are not misread as crashed locks
+    by the queue's staleness check (ADVICE round 3).  A genuinely crashed
+    bench stops refreshing, so staleness detection still works.
+    """
 
     def __init__(self, path=LOCK_PATH):
         self.path = path
+        self._stop = threading.Event()
+        self._thread = None
+
+    def _keepalive(self):
+        while not self._stop.wait(KEEPALIVE_S):
+            try:
+                os.utime(self.path, None)
+            except OSError:
+                pass
 
     def __enter__(self):
         with open(self.path, "w") as f:
             f.write("%d %f" % (os.getpid(), time.time()))
+        self._thread = threading.Thread(target=self._keepalive, daemon=True)
+        self._thread.start()
         return self
 
     def __exit__(self, *exc):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
         try:
             os.remove(self.path)
         except OSError:

@@ -108,9 +108,16 @@ def main(argv=None):
     for it in range(2):
         trainer.train_step(x_dev, metas, 0, it, 0.01, [0.9, 0.999], 1e-4)
 
+    # re-check the bench lock at EVERY timed-window boundary (not just
+    # startup) — a bench launched mid-run must not collide with a window
+    # (ADVICE round 3; matches probe_cluster_cap / bench_variants)
+    _yield = lambda: chiplock.yield_to_bench(log=lambda m: print(m,
+                                                                 flush=True))
+
     # --- device step rate: pre-prepared targets, pre-staged inputs ---------
     prepared = trainer.prepare_targets(x_dev, metas)
     iters = args.iters
+    _yield()
     t0 = time.time()
     for it in range(iters):
         total, costs = trainer.train_step(
@@ -135,6 +142,7 @@ def main(argv=None):
     numpy.asarray(jnpp.stack([total] * K))
     if iters % K:
         numpy.asarray(jnpp.stack([total] * (iters % K)))
+    _yield()
     t0 = time.time()
     pending = []
     prep = trainer.prepare_targets(xs_dev[0], batches[0][1])
@@ -181,6 +189,7 @@ def main(argv=None):
         # the loop below is pure host/dispatch overhead (the render compute
         # itself is part of both)
         prep = trainer2.prepare_targets(None, geos[0][1])
+        _yield()
         t0 = time.time()
         for it in range(iters):
             total, _ = trainer2.train_step(
@@ -193,6 +202,7 @@ def main(argv=None):
                           "value": round(dd_dev_hz, 2), "unit": "images/sec",
                           "vs_baseline": round(dd_dev_hz / dev_hz, 3)}),
               flush=True)
+        _yield()
         t0 = time.time()
         pending = []
         prep = trainer2.prepare_targets(None, geos[0][1])
@@ -230,7 +240,10 @@ def _scan_section(args, model, render, geos, scan_k, iters, dev_hz):
     import numpy
 
     from denet_tpu.train.trainer import Trainer
+    from denet_tpu.utils import chiplock
 
+    _yield = lambda: chiplock.yield_to_bench(log=lambda m: print(m,
+                                                                 flush=True))
     batch = args.batch
     trainer3 = Trainer(model, solver_mode="nesterov", seed=1,
                        device_targets=True,
@@ -249,6 +262,7 @@ def _scan_section(args, model, render, geos, scan_k, iters, dev_hz):
         for it in range(2):
             trainer3.train_step(chunks[0][0][0], chunks[0][0][1], 0, it,
                                 0.01, [0.9, 0.999], 1e-4, prepared=prep)
+        _yield()
         t0 = time.time()
         for it in range(iters):
             total, _ = trainer3.train_step(
@@ -260,6 +274,7 @@ def _scan_section(args, model, render, geos, scan_k, iters, dev_hz):
                           "denet34_skip_train_device_step_fused_render",
                           "value": round(dev_hz, 2), "unit": "images/sec",
                           "vs_baseline": 1.0}), flush=True)
+    _yield()
     t0 = time.time()
     n_steps = 0
     while n_steps < iters:

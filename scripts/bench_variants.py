@@ -95,6 +95,17 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
                         .astype(numpy.uint8))
         calibrate_corner_bias_device(model, x)
 
+    calibrated = None
+    if (cluster_cap is None and v2
+            and detect_layer.sparse_layer.nms_threshold < 1.0):
+        # serving default for v2 rows: calibrate the cluster cap on the
+        # input distribution (Model.calibrate_cluster_cap; any cap >= the
+        # observed candidate count is bitwise lossless, and serving via
+        # get_detections escalates saturated batches to the reference cap)
+        cap, max_count = model.calibrate_cluster_cap(detect_layer, [x])
+        calibrated = {"cluster_cap": cap, "cand_max": max_count}
+        print("%s: calibrated cluster cap %d (observed max %d)"
+              % (tag, cap, max_count), flush=True)
     kw = {} if cluster_cap is None else {"cluster_cap": cluster_cap}
     fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
                                     corner_k=256, top_m=128, top_n=100, **kw)
@@ -121,9 +132,12 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
     iters = max(8, min(int(min_seconds / step), 512))
     dt = timed(iters)
     hz = batch * iters / dt
-    return {"metric": tag, "value": round(hz, 2), "unit": "images/sec",
-            "vs_baseline": round(hz / baseline_hz, 3),
-            "compile_s": round(compile_s, 1), "iters": iters}
+    res = {"metric": tag, "value": round(hz, 2), "unit": "images/sec",
+           "vs_baseline": round(hz / baseline_hz, 3),
+           "compile_s": round(compile_s, 1), "iters": iters}
+    if calibrated is not None:
+        res.update(calibrated)
+    return res
 
 
 def main(argv=None):

@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--v2", action="store_true")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--model", default=None,
+                   help="profile a trained checkpoint (training-distribution"
+                        " inputs, realistic corner density) instead of the "
+                        "perturbed-head build; v2-ness is read from the "
+                        "checkpoint")
     args = p.parse_args(argv)
 
     import jax
@@ -39,20 +44,41 @@ def main(argv=None):
 
     logging.init(level="warning")
     batch, size = 8, args.size
-    desc = zoo.denet34("wide", v2=args.v2)
-    model = _build_detect_model(batch, size, class_num=80,
-                                desc_override=desc)
-    model.compute_dtype = jnp.bfloat16
-    detect_layer = model.layers[-1]
-    sparse = [l for l in model.layers if l.type_name == "denet-sparse"][0]
-    dnc = sparse.corner_layer
-    sn = sparse.sample_num
-    perturb_heads_host(model)
-    model.ensure_on_device()
-    rng = numpy.random.RandomState(3)
-    x = jnp.asarray(rng.randint(0, 256, (batch, 3, size, size))
-                    .astype(numpy.uint8))
-    calibrate_corner_bias_device(model, x)
+    if args.model:
+        import denet_tpu.core.model as model_mod
+        model = model_mod.load_from_file(args.model, batch_size=batch)
+        model.compute_dtype = jnp.bfloat16
+        detect_layer = model.layers[-1]
+        sparse = [l for l in model.layers
+                  if l.type_name == "denet-sparse"][0]
+        dnc = sparse.corner_layer
+        sn = sparse.sample_num
+        args.v2 = sparse.nms_threshold < 1.0
+        model.ensure_on_device()
+        from denet_tpu.data.synthetic import make_uint8_batch_hard
+        rng = numpy.random.RandomState(3)
+        x = jnp.asarray(make_uint8_batch_hard(rng, batch, size,
+                                              model.class_num)[0])
+        if args.v2:
+            cap, mx = model.calibrate_cluster_cap(detect_layer, [x])
+            print("calibrated cluster cap %d (observed max %d)" % (cap, mx),
+                  flush=True)
+    else:
+        desc = zoo.denet34("wide", v2=args.v2)
+        model = _build_detect_model(batch, size, class_num=80,
+                                    desc_override=desc)
+        model.compute_dtype = jnp.bfloat16
+        detect_layer = model.layers[-1]
+        sparse = [l for l in model.layers
+                  if l.type_name == "denet-sparse"][0]
+        dnc = sparse.corner_layer
+        sn = sparse.sample_num
+        perturb_heads_host(model)
+        model.ensure_on_device()
+        rng = numpy.random.RandomState(3)
+        x = jnp.asarray(rng.randint(0, 256, (batch, 3, size, size))
+                        .astype(numpy.uint8))
+        calibrate_corner_bias_device(model, x)
     params = model.inference_params()
 
     def timeit(name, fn, fargs, iters=args.iters):
@@ -95,7 +121,9 @@ def main(argv=None):
         diff = c["corner_pr"][:, 0] - c["corner_pr"][:, 1]
         if args.v2:
             from denet_tpu.ops.cluster_device import cluster_candidates
-            cap = min(10 * sn * sn, sparse.cluster_device_cap)
+            cap = min(10 * sn * sn,
+                      getattr(model, "cluster_cap", None)
+                      or sparse.cluster_device_cap)
             bb, pr, cnt = corner_search(diff, sparse.corner_threshold, sn,
                                         out_count=cap,
                                         local_max=sparse.local_max)

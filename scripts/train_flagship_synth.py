@@ -94,6 +94,16 @@ def main(argv=None):
                         "the skip flagship: the resnet stages and the first "
                         "two upsample convs share shapes; copy stops at the "
                         "first type/shape mismatch)")
+    p.add_argument("--init-suffix", default=None,
+                   help="transplant the longest shape-matched SUFFIX of "
+                        "param-bearing layers from a checkpoint with a "
+                        "different desc — warm-start a 101-family model's "
+                        "detection head from a trained 34-family one: the "
+                        "head is shape-identical from the DNC corner conv "
+                        "through the DND classifier (the first backward "
+                        "mismatch is the trunk-facing C[256/128,3] whose "
+                        "input channels differ per family); mirrors "
+                        "--init-prefix")
     p.add_argument("--head-copy", type=int, default=1,
                    help="0 = always re-initialize the DND head even when "
                         "--init-trunk has an identical head shape (fair "
@@ -164,6 +174,44 @@ def main(argv=None):
         print("transplanted layers 1..%d from %s (head %s)" % (
             end - 1, args.init_trunk,
             "copied" if same_head else "re-initialized"), flush=True)
+
+    def _bearing_sig_tools():
+        import jax as _jax
+
+        def bearing(m):
+            out = []
+            for i in range(1, len(m.layers)):
+                leaves = (_jax.tree_util.tree_leaves(m.params[i]) +
+                          _jax.tree_util.tree_leaves(m.state[i]))
+                if leaves:
+                    out.append(i)
+            return out
+
+        def sig(m, i):
+            shapes = _jax.tree_util.tree_map(lambda a: numpy.shape(a),
+                                             (m.params[i], m.state[i]))
+            return (m.layers[i].type_name, str(shapes))
+
+        return bearing, sig
+
+    if args.init_suffix:
+        # warm-start the head across families: walk both param-bearing layer
+        # sequences BACKWARD from the output and copy while (type, shape)
+        # match — skip34 -> skip101 transplants DND + the four 1x1 head
+        # convs (+BNAs) + the DNC corner conv; the trunk stays at init.
+        bearing, sig = _bearing_sig_tools()
+        src = model_mod.load_from_file(args.init_suffix,
+                                       batch_size=args.batch)
+        copied = []
+        for si, ti in zip(reversed(bearing(src)), reversed(bearing(model))):
+            if sig(src, si) != sig(model, ti):
+                break
+            model.params[ti] = src.params[si]
+            model.state[ti] = src.state[si]
+            copied.append(ti)
+        print("suffix-transplanted %d param-bearing layers from %s "
+              "(target indices %s)" % (len(copied), args.init_suffix,
+                                       sorted(copied)), flush=True)
 
     if args.init_prefix:
         # warm-start across DIFFERENT descs: walk both param-bearing layer

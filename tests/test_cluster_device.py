@@ -225,3 +225,109 @@ def test_full_v2_chain_matches_host_build_samples():
         ds = {tuple(numpy.round(v, 5)) for v in db[bi][:int(dc[bi])]}
         hs = {tuple(numpy.round(v, 5)) for v in hb[bi][:int(hc[bi])]}
         assert ds == hs
+
+
+# -- serving cluster-cap policy (round 4) ------------------------------------
+
+def test_auto_cap_policy():
+    """auto_cap: next pow2 >= margin*max_count, floored at sample_count,
+    clamped to the reference cap 10*sample_count."""
+    from denet_tpu.ops.cluster_device import auto_cap
+    # the wide34_v2 case from the round-3 cap study: observed max 706
+    assert auto_cap(706, 576) == 1024
+    assert auto_cap(706, 576, margin=2.0) == 2048
+    # tiny observed count still floors at the output budget's pow2
+    assert auto_cap(5, 576) == 1024
+    # clamped to the reference-faithful cap
+    assert auto_cap(10 ** 9, 576) == 5760
+    assert auto_cap(0, 4) == 4
+
+
+def test_calibrated_cap_lossless_and_escalation():
+    """Any cap >= the observed candidate count returns exactly the
+    reference-cap detections (losslessness the serving default relies on);
+    a saturating cap escalates inside get_detections and STILL returns the
+    reference result — results never depend on the cap choice."""
+    import jax
+
+    model = build_v2_model()
+    det = model.layers[-1]
+    # the fresh corner head inits to "everything is background" (bias 5.0,
+    # denet_corner.py) — re-init it to a mid-density operating point so the
+    # scene has candidates but fewer than the reference cap (bias offset
+    # 3.0 measured: ~13 candidates vs ref cap 160)
+    ci = det.sparse_layer.corner_layer.layer_index
+    prng = numpy.random.RandomState(11)
+
+    def perturb(a):
+        a = numpy.asarray(a)
+        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
+        return out + 3.0 if a.ndim == 1 else out
+
+    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+
+    rng = numpy.random.RandomState(5)
+    x = rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+    metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6)], "class": [b % 3]}
+             for b in range(2)]
+    base = {"prThreshold": 0.0001, "nmsThreshold": 0.5}
+    sn = det.sparse_layer.sample_num
+    ref_cap = 10 * sn * sn
+
+    ref = det.get_detections(model, x, metas, dict(base, clusterCap=ref_cap))
+    assert sum(len(r["detections"]) for r in ref) > 0
+
+    cap, max_count = model.calibrate_cluster_cap(det, [x])
+    assert max_count > 0, "degenerate scene: no candidates"
+    assert cap >= max_count
+    assert cap < ref_cap, "cap must be non-trivially below the reference"
+    assert model.cluster_cap == cap
+
+    def assert_same(a, b):
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert len(ra["detections"]) == len(rb["detections"])
+            for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
+                                                  rb["detections"]):
+                assert ca == cb and abs(pa - pb) < 1e-6
+                numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+
+    # calibrated default (no explicit clusterCap) == reference cap result
+    auto = det.get_detections(model, x, metas, dict(base))
+    assert_same(auto, ref)
+
+    # a deliberately saturating cap (1 < observed count) escalates to the
+    # reference cap and returns the identical result
+    sat = det.get_detections(model, x, metas, dict(base, clusterCap=1))
+    assert_same(sat, ref)
+
+
+def test_distinct_second_quota_variant():
+    """distinct_second=True: a cluster's second kept member is the one
+    least-overlapping the representative, not the next-best by pr."""
+    import jax.numpy as jnp
+
+    from denet_tpu.ops.cluster_device import cluster_candidates
+
+    # one component of three: A (rep), B (near-duplicate of A, higher pr),
+    # C (partial overlap, lower pr).  quota at output_num=2 keeps 2 members.
+    bbox = numpy.array([[[0.0, 0.0, 1.0, 1.0],
+                         [0.02, 0.0, 1.02, 1.0],
+                         [0.4, 0.0, 1.4, 1.0],
+                         [0, 0, 0, 0]]], numpy.float32)
+    pr = numpy.array([[0.9, 0.8, 0.7, 0.0]], numpy.float32)
+    count = numpy.array([3], numpy.int32)
+
+    def run(**kw):
+        b, p, c = cluster_candidates(jnp.asarray(bbox), jnp.asarray(pr),
+                                     jnp.asarray(count), 0.3, 2, 4, **kw)
+        return numpy.asarray(b)[0], numpy.asarray(p)[0], int(c[0])
+
+    b_def, p_def, c_def = run()
+    assert c_def == 2
+    numpy.testing.assert_allclose(b_def[1], bbox[0, 1])   # B: next-best pr
+
+    b_ds, p_ds, c_ds = run(distinct_second=True)
+    assert c_ds == 2
+    numpy.testing.assert_allclose(b_ds[0], bbox[0, 0])    # rep unchanged
+    numpy.testing.assert_allclose(b_ds[1], bbox[0, 2])    # C: least overlap

@@ -58,16 +58,30 @@ class BatchNormLayer(Layer):
         if not self.enabled:
             return x, {}
 
-        # model-update-bn support: stash this layer's input statistics
-        # (reference recompiles a per-layer theano function instead,
-        # update_bn.py:55-66; here one jitted pass collects all layers)
-        if getattr(ctx, "bn_stats", None) is not None:
-            xf = x.astype(jnp.float32)
-            ctx.bn_stats[id(self)] = (jnp.mean(xf, axis=(0, 2, 3)),
-                                      jnp.var(xf, axis=(0, 2, 3)))
-
         gamma = params["gamma"]
         beta = params["bias"]
+
+        # model-update-bn support: stash this layer's input statistics AND
+        # normalize with them (the reference updates layers SEQUENTIALLY —
+        # update_bn.py:55-80 measures each layer with every upstream layer
+        # already updated — so a one-pass collection must not normalize
+        # with the stale EMAs: measured under old stats, the new stats are
+        # mutually inconsistent and can destroy the model when drift is
+        # large, e.g. after image-size surgery.  Normalizing with the
+        # just-measured batch stats makes the single pass self-consistent:
+        # each layer's input is produced by upstream layers running on
+        # their true current statistics — the "precise BN" recipe, equal to
+        # the reference's sequential sweep up to batch-vs-dataset noise.)
+        if getattr(ctx, "bn_stats", None) is not None:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 2, 3))
+            var = jnp.var(xf, axis=(0, 2, 3))
+            ctx.bn_stats[id(self)] = (mean, var)
+            scale = gamma * jax.lax.rsqrt(var + self.eps)
+            y = (x - mean[None, :, None, None].astype(x.dtype)) * \
+                scale[None, :, None, None].astype(x.dtype) + \
+                beta[None, :, None, None].astype(x.dtype)
+            return y, {}
         if ctx.train:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 2, 3))

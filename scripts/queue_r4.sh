@@ -86,4 +86,25 @@ $T --family 101 --variant wide --v2 --dnc 'DNC[48,100]' --steps 16000 \
    --out $V/denet101_wide_v2b.mdl.gz \
    > /tmp/train_wide101_v2b.log 2>&1 ; } || echo "FAILED wide101_v2b"
 
+# 6. x768 re-runs with the FIXED BN recalibration (the round-3 queue's
+#    x768 evals ran with the inconsistent one-pass update_bn — measured
+#    mAP 0.0; see PERF.md round-4 BN recalibration fix)
+step x768_flagship_fixed
+timeout 3600 python -u scripts/x768_eval.py --dist hard \
+    > /tmp/x768_eval_flagship2.log 2>&1 || echo "FAILED x768_flagship_fixed"
+
+step x768_101wide_v2b
+[ -f $V/denet101_wide_v2b.mdl.gz ] && \
+timeout 3600 python -u scripts/x768_eval.py --dist hard \
+    --model $V/denet101_wide_v2b.mdl.gz --size 768 --sample-num 36 \
+    --out $V/denet101_wide_x768_v2.mdl.gz \
+    > /tmp/x768_eval_101wide_v2b.log 2>&1 || echo "FAILED x768_101wide_v2b"
+
+# 7. refresh the x768 sweep row with the fixed checkpoint
+step bench_x768_row
+[ -f $V/denet101_wide_x768_v2.mdl.gz ] && \
+timeout 3600 python -u scripts/bench_variants.py --models-dir $V \
+    --only denet101_wide_x768_v2 \
+    > /tmp/bench_x768_row.log 2>&1 || echo "FAILED bench_x768_row"
+
 step DONE

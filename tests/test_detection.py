@@ -334,3 +334,49 @@ def test_update_bn_stats_on_detection_model(v2):
         assert numpy.all(numpy.isfinite(mean))
         assert numpy.all(numpy.isfinite(stdinv)) and numpy.all(stdinv > 0)
         assert mean.shape == numpy.asarray(state["mean"]).shape
+
+
+def test_update_bn_is_self_consistent():
+    """The one-jit BN recalibration must be SELF-CONSISTENT: installing its
+    results and collecting again must return the same statistics (the
+    reference updates layers sequentially — update_bn.py:55-80 — so each
+    layer is measured under its upstream layers' true stats; a collection
+    normalized by stale EMAs is not a fixed point and destroyed the x768
+    surgery model before the round-4 fix: PERF.md 'update_bn one-pass
+    inconsistency')."""
+    import jax.numpy as jnp
+
+    from denet_tpu.apps.update_bn import compute_bn_stats
+
+    numpy.random.seed(13)
+    random.seed(13)
+    model = Model()
+    model.batch_size = 2
+    model.class_num = 4
+    model.class_labels = {str(i): i for i in range(4)}
+    model.build(["C[8,3]", "BN", "A", "C[8,3]", "BN", "A", "P[2]", "R"],
+                (3, 16, 16), border_mode="half",
+                weight_init=["he-forward"])
+    # deliberately WRONG running stats (large drift — the regime where the
+    # stale-normalized collection breaks down)
+    rng = numpy.random.RandomState(7)
+    for state in model.state:
+        if state and "mean" in state:
+            state["mean"] = rng.normal(3.0, 1.0, state["mean"].shape).astype(
+                numpy.float32)
+            state["stdinv"] = rng.uniform(0.1, 4.0,
+                                          state["stdinv"].shape).astype(
+                numpy.float32)
+
+    data_x = numpy.random.uniform(0, 1, (4, 3, 16, 16)).astype(numpy.float32)
+
+    bn_layers, results = compute_bn_stats(model, data_x, 2)
+    for (layer, state), (mean, stdinv) in zip(bn_layers, results):
+        state["mean"] = jnp.asarray(mean)
+        state["stdinv"] = jnp.asarray(stdinv)
+    model.invalidate_cached_params()
+
+    _, results2 = compute_bn_stats(model, data_x, 2)
+    for (m1, s1), (m2, s2) in zip(results, results2):
+        numpy.testing.assert_allclose(m1, m2, atol=1e-4)
+        numpy.testing.assert_allclose(s1, s2, rtol=1e-4)

@@ -331,3 +331,49 @@ def test_distinct_second_quota_variant():
     assert c_ds == 2
     numpy.testing.assert_allclose(b_ds[0], bbox[0, 0])    # rep unchanged
     numpy.testing.assert_allclose(b_ds[1], bbox[0, 2])    # C: least overlap
+
+
+def test_batched_path_escalates_saturated_cap():
+    """get_detections_batched (the predict-CLI serving path) must also
+    return reference-cap-exact results under a saturating clusterCap: the
+    escalation happens at conversion/drain time, outside the download-free
+    dispatch loop."""
+    import jax
+
+    model = build_v2_model()
+    det = model.layers[-1]
+    ci = det.sparse_layer.corner_layer.layer_index
+    prng = numpy.random.RandomState(11)
+
+    def perturb(a):
+        a = numpy.asarray(a)
+        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
+        return out + 3.0 if a.ndim == 1 else out
+
+    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+
+    rng = numpy.random.RandomState(5)
+    batches = []
+    for b in range(2):
+        x = rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+        metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6)], "class": [i % 3]}
+                 for i in range(2)]
+        batches.append((x, metas))
+    base = {"prThreshold": 0.0001, "nmsThreshold": 0.5}
+    sn = det.sparse_layer.sample_num
+
+    for defer in (False, True):
+        ref = det.get_detections_batched(
+            model, iter(batches), dict(base, clusterCap=10 * sn * sn),
+            defer_downloads=defer)
+        sat = det.get_detections_batched(
+            model, iter(batches), dict(base, clusterCap=1),
+            defer_downloads=defer)
+        assert sum(len(r["detections"]) for r in ref) > 0
+        assert len(ref) == len(sat)
+        for ra, rb in zip(ref, sat):
+            assert len(ra["detections"]) == len(rb["detections"])
+            for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
+                                                  rb["detections"]):
+                assert ca == cb and abs(pa - pb) < 1e-6
+                numpy.testing.assert_allclose(ba, bb, atol=1e-6)

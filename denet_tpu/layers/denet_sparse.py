@@ -108,6 +108,12 @@ class DeNetSparseLayer(Layer):
     cluster_device_cap = int(os.environ.get("DENET_TPU_CLUSTER_CAP", "6144"))
     cluster_train_cap = int(os.environ.get("DENET_TPU_CLUSTER_TRAIN_CAP",
                                            "1536"))
+    # occlusion-aware quota variant (ops/cluster_device distinct_second):
+    # applies to BOTH the training-step sample selection and the serving
+    # default (core/model.py reads this attr).  Default off =
+    # reference-faithful quota (denet_sparse.cc:210-236).
+    cluster_distinct2 = os.environ.get("DENET_TPU_CLUSTER_DISTINCT2",
+                                       "0") == "1"
 
     def _select_samples_device(self, ctx):
         """On-device training sample selection (fused into the train step).
@@ -139,7 +145,7 @@ class DeNetSparseLayer(Layer):
                     out_count=cap, local_max=self.local_max)
                 cand, _pr, _cnt = cluster_candidates(
                     cand, pr, count, self.nms_threshold, self.sample_count,
-                    cap)
+                    cap, distinct_second=self.cluster_distinct2)
             else:
                 cand, _pr, _cnt = corner_search(
                     diff, self.corner_threshold, self.sample_num,
@@ -155,7 +161,8 @@ class DeNetSparseLayer(Layer):
                 diff, self.corner_threshold, self.sample_num,
                 out_count=cap, local_max=self.local_max)
             cand, _pr, count = cluster_candidates(
-                cand, pr, count, self.nms_threshold, self.sample_count, cap)
+                cand, pr, count, self.nms_threshold, self.sample_count, cap,
+                distinct_second=self.cluster_distinct2)
         else:
             cand, _pr, count = corner_search(
                 diff, self.corner_threshold, self.sample_num,

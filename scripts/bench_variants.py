@@ -162,6 +162,9 @@ def main(argv=None):
                         " a variant with a checkpoint benches those weights "
                         "on training-distribution inputs instead of the "
                         "perturbed-head calibration")
+    p.add_argument("--batch", type=int, default=8,
+                   help="serving batch size (throughput-vs-batch probes; "
+                        "baseline comparisons use the reference's b8)")
     args = p.parse_args(argv)
 
     import os
@@ -177,9 +180,11 @@ def main(argv=None):
         chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         try:
             res = run_variant(*row, cluster_cap=args.cluster_cap,
-                              models_dir=args.models_dir)
+                              models_dir=args.models_dir, batch=args.batch)
             if args.cluster_cap is not None:
                 res["cluster_cap"] = args.cluster_cap
+            if args.batch != 8:
+                res["batch"] = args.batch
             if args.models_dir:
                 import os as _o
                 res["weights"] = ("trained" if _o.path.exists(_o.path.join(

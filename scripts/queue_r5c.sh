@@ -13,13 +13,27 @@ V=models/variants
 
 step() { echo "=== [$(date +%H:%M:%S)] $1 ==="; }
 
+# Wait on the r5b DONE marker.  Do NOT trust pid files for liveness: a
+# queue that is itself still WAITING on its predecessor has not written
+# its pid file yet (that bug made the first r5c launch start benching
+# concurrently with r5's training).  Liveness = any queue/training/eval
+# process visible in /proc, 3 consecutive dead polls required.
 step wait_r5b
+misses=0
 while true; do
     grep -q "=== .* DONE ===" /tmp/queue_r5b.log 2>/dev/null && break
-    pid=$(cat /tmp/queue_r5b.pid 2>/dev/null)
-    if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
-        echo "r5b queue process dead without DONE marker; proceeding"
-        break
+    alive=0
+    for p in /proc/[0-9]*/cmdline; do
+        tr '\0' ' ' < "$p" 2>/dev/null | grep -qE \
+            'scripts/(train_flagship_synth|x768_eval|occlusion_study|profile_wide|bench_variants|queue_r5b?\.sh)' \
+            && { alive=1; break; }
+    done
+    if [ "$alive" = 1 ]; then misses=0; else
+        misses=$((misses + 1))
+        [ $misses -ge 3 ] && {
+            echo "predecessor queues dead without DONE marker; proceeding"
+            break
+        }
     fi
     sleep 120
 done

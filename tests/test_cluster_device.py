@@ -377,3 +377,21 @@ def test_batched_path_escalates_saturated_cap():
                                                   rb["detections"]):
                 assert ca == cb and abs(pa - pb) < 1e-6
                 numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+
+def test_cluster_distinct2_knob_default_and_env():
+    """cluster_distinct2 defaults off (reference-faithful quota) and the
+    env knob flips it for training runs (queue_r5b wide34_v2d)."""
+    import subprocess
+    import sys
+
+    from denet_tpu.layers.denet_sparse import DeNetSparseLayer
+
+    assert DeNetSparseLayer.cluster_distinct2 is False
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from denet_tpu.layers.denet_sparse import DeNetSparseLayer as L;"
+         "print(L.cluster_distinct2)"],
+        capture_output=True, text=True,
+        env={"DENET_TPU_CLUSTER_DISTINCT2": "1", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"})
+    assert out.stdout.strip() == "True", out.stderr[-500:]

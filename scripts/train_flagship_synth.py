@@ -108,6 +108,12 @@ def main(argv=None):
                    help="0 = always re-initialize the DND head even when "
                         "--init-trunk has an identical head shape (fair "
                         "same-init feature-matrix protocol)")
+    p.add_argument("--desc", default=None,
+                   help="space-separated desc tokens overriding the zoo "
+                        "build entirely (tiny models for CPU smoke tests, "
+                        "ad-hoc architectures), e.g. "
+                        "'C[8,3] BN A DNC[16] DNS[2,4,0.01,0.1,2,0.7] "
+                        "C[16,1] BN A DND.JB[0.5,1.0,1.0]'")
     p.add_argument("--eval-batches", type=int, default=0,
                    help="run the held-out VOC+COCO eval (same process, seed "
                         "1234) on this many batches after training; with "
@@ -134,7 +140,9 @@ def main(argv=None):
                                          batch_size=args.batch)
     else:
         desc = None
-        if (args.dnd is not None or args.dns is not None
+        if args.desc is not None:
+            desc = args.desc.split()
+        elif (args.dnd is not None or args.dns is not None
                 or args.variant != "skip" or args.family != 34 or args.v2):
             from denet_tpu.models import zoo
             desc = (zoo.denet34 if args.family == 34

@@ -98,7 +98,7 @@ def main():
     # stall) both sides.  Queue scripts poll yield_to_bench() between step
     # blocks and pause while this lock is fresh.
     from denet_tpu.utils.chiplock import bench_lock
-    with bench_lock():
+    with bench_lock(log=lambda m: print(m, flush=True)):
         return _main()
 
 

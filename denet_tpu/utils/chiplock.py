@@ -20,28 +20,27 @@ import threading
 import time
 
 LOCK_PATH = "/tmp/denet_bench.lock"
+BUSY_PATH = "/tmp/denet_queue.busy"
 STALE_S = 20 * 60
 MAX_WAIT_S = 30 * 60
 KEEPALIVE_S = 60.0
+BUSY_STALE_S = 2 * 60
+BUSY_MAX_WAIT_S = 10 * 60
 
 
-class bench_lock:
-    """Hold the chip for a timed benchmark window.
+class _marker:
+    """Touch a marker file for a scope, mtime-refreshed by a daemon thread
+    (so holders longer than the staleness window are not misread as
+    crashed), removed on exit."""
 
-    A daemon keepalive thread refreshes the lock's mtime every KEEPALIVE_S
-    so benches longer than STALE_S (plausible: cold compiles + the 200s
-    link transition + many timed windows) are not misread as crashed locks
-    by the queue's staleness check (ADVICE round 3).  A genuinely crashed
-    bench stops refreshing, so staleness detection still works.
-    """
-
-    def __init__(self, path=LOCK_PATH):
+    def __init__(self, path, keepalive_s=KEEPALIVE_S):
         self.path = path
+        self.keepalive_s = keepalive_s
         self._stop = threading.Event()
         self._thread = None
 
     def _keepalive(self):
-        while not self._stop.wait(KEEPALIVE_S):
+        while not self._stop.wait(self.keepalive_s):
             try:
                 os.utime(self.path, None)
             except OSError:
@@ -63,6 +62,58 @@ class bench_lock:
         except OSError:
             pass
         return False
+
+
+class queue_busy(_marker):
+    """Mark one uninterruptible queue block (a bench_variants row, an eval
+    batch, a timed profile) so an arriving bench waits for it to finish
+    instead of timing against a busy chip (ADVICE round 3, item 4).
+
+    MUST NOT span a yield_to_bench() call — the marker is for the work
+    BETWEEN yield points, else bench and queue wait on each other (both
+    waits are bounded, but the windows then overlap anyway).
+    """
+
+    def __init__(self, path=BUSY_PATH, keepalive_s=30.0):
+        super().__init__(path, keepalive_s)
+
+
+class bench_lock(_marker):
+    """Hold the chip for a timed benchmark window.
+
+    On entry, first waits (bounded by BUSY_MAX_WAIT_S) for any FRESH
+    queue-busy marker to clear, so a benchmark launched mid-row of a
+    background queue does not time against a busy chip; then takes the
+    lock the queue's yield_to_bench() polls.  A daemon keepalive thread
+    refreshes the lock's mtime every KEEPALIVE_S so benches longer than
+    STALE_S (plausible: cold compiles + the 200s link transition + many
+    timed windows) are not misread as crashed locks by the queue's
+    staleness check (ADVICE round 3).  A genuinely crashed bench stops
+    refreshing, so staleness detection still works.
+    """
+
+    def __init__(self, path=LOCK_PATH, log=None, busy_path=BUSY_PATH,
+                 busy_max_wait_s=BUSY_MAX_WAIT_S, busy_stale_s=BUSY_STALE_S,
+                 busy_poll_s=5.0):
+        super().__init__(path)
+        self._log = log
+        self._busy_path = busy_path
+        self._busy_max_wait_s = busy_max_wait_s
+        self._busy_stale_s = busy_stale_s
+        self._busy_poll_s = busy_poll_s
+
+    def __enter__(self):
+        waited = 0.0
+        while waited < self._busy_max_wait_s:
+            age = lock_age(self._busy_path)
+            if age is None or age > self._busy_stale_s:
+                break
+            if self._log is not None and waited == 0.0:
+                self._log("bench: queue block in flight (busy marker age "
+                          "%.0fs), waiting for it to finish" % age)
+            time.sleep(self._busy_poll_s)
+            waited += self._busy_poll_s
+        return super().__enter__()
 
 
 def lock_age(path=LOCK_PATH):

@@ -179,8 +179,13 @@ def main(argv=None):
             continue
         chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         try:
-            res = run_variant(*row, cluster_cap=args.cluster_cap,
-                              models_dir=args.models_dir, batch=args.batch)
+            # a row is minutes of chip work (compile + calibration + timed
+            # windows); mark it busy so an arriving bench.py waits for the
+            # row boundary instead of timing against it
+            with chiplock.queue_busy():
+                res = run_variant(*row, cluster_cap=args.cluster_cap,
+                                  models_dir=args.models_dir,
+                                  batch=args.batch)
             if args.cluster_cap is not None:
                 res["cluster_cap"] = args.cluster_cap
             if args.batch != 8:

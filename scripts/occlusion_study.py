@@ -73,23 +73,26 @@ def main(argv=None):
     for tag, surgery in configs:
         chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         # fresh load per config: the fused detect fn traces the sparse
-        # layer's clustering config at build time
-        model = model_mod.load_from_file(args.model, batch_size=args.batch)
-        model.compute_dtype = jnp.bfloat16
-        detect_layer = model.layers[-1]
-        sparse = detect_layer.sparse_layer
-        assert sparse.nms_threshold < 1.0, \
-            "occlusion study requires a v2 (clustering) checkpoint"
-        for k, v in surgery.items():
-            setattr(sparse, k, v)
-        if batches is None:
-            batches = make_eval_batches(model.class_num)
-        print("=== %s ===" % tag, flush=True)
-        dets = []
-        for xs, metas in batches:
-            dets += detect_layer.get_detections(model, xs, metas,
-                                                dict(det_params))
-        results[tag] = run_eval(model, dets, args.size, tag="  ")
+        # layer's clustering config at build time.  One arm is minutes of
+        # chip work — mark it busy for any arriving bench (chiplock).
+        with chiplock.queue_busy():
+            model = model_mod.load_from_file(args.model,
+                                             batch_size=args.batch)
+            model.compute_dtype = jnp.bfloat16
+            detect_layer = model.layers[-1]
+            sparse = detect_layer.sparse_layer
+            assert sparse.nms_threshold < 1.0, \
+                "occlusion study requires a v2 (clustering) checkpoint"
+            for k, v in surgery.items():
+                setattr(sparse, k, v)
+            if batches is None:
+                batches = make_eval_batches(model.class_num)
+            print("=== %s ===" % tag, flush=True)
+            dets = []
+            for xs, metas in batches:
+                dets += detect_layer.get_detections(model, xs, metas,
+                                                    dict(det_params))
+            results[tag] = run_eval(model, dets, args.size, tag="  ")
 
     base = results["clustered"]
     for tag in ("no-clustering", "distinct-second"):

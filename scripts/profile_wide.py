@@ -81,14 +81,20 @@ def main(argv=None):
         calibrate_corner_bias_device(model, x)
     params = model.inference_params()
 
+    from denet_tpu.utils import chiplock
+
     def timeit(name, fn, fargs, iters=args.iters):
-        r = fn(*fargs)
-        numpy.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
-        t0 = time.time()
-        for _ in range(iters):
+        # each stage = compile + timed loop: yield to a bench first, then
+        # mark the stage busy so an arriving bench waits for its boundary
+        chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+        with chiplock.queue_busy():
             r = fn(*fargs)
-        numpy.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
-        dt = (time.time() - t0) / iters
+            numpy.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+            t0 = time.time()
+            for _ in range(iters):
+                r = fn(*fargs)
+            numpy.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+            dt = (time.time() - t0) / iters
         print("%-30s %7.2f ms/batch  (%6.1f img/s)" % (
             name, 1000 * dt, batch / dt), flush=True)
         return r

@@ -420,12 +420,14 @@ def _run_final_eval(args, model):
     if args.eval_soft_nms:
         passes.append(("soft-NMS", 1))
     for tag, soft in passes:
-        dets = []
-        for xs, metas in batches:
-            dets += detect_layer.get_detections(
-                model, xs, metas, {"prThreshold": 0.05,
-                                   "nmsThreshold": 0.5,
-                                   "useSoftNMS": soft})
+        chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+        with chiplock.queue_busy():
+            dets = []
+            for xs, metas in batches:
+                dets += detect_layer.get_detections(
+                    model, xs, metas, {"prThreshold": 0.05,
+                                       "nmsThreshold": 0.5,
+                                       "useSoftNMS": soft})
         print("eval[%s]:" % tag, flush=True)
         run_eval(model, dets, args.size, tag="  ")
 

@@ -66,7 +66,10 @@ def main(argv=None):
     bn_x = numpy.concatenate(
         [gen(brng, 8, args.size, model.class_num)[0]
          for _ in range(args.bn_batches)], axis=0)
-    bn_layers, results = compute_bn_stats(model, bn_x, 8)
+    from denet_tpu.utils import chiplock
+    chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+    with chiplock.queue_busy():
+        bn_layers, results = compute_bn_stats(model, bn_x, 8)
     for (layer, state), (mean, stdinv) in zip(bn_layers, results):
         state["mean"] = jnp.asarray(mean)
         state["stdinv"] = jnp.asarray(stdinv)
@@ -84,8 +87,10 @@ def main(argv=None):
     for bi in range(args.eval_batches):
         chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
         xs, metas = gen(erng, 8, args.size, model.class_num)
-        detections += detect_layer.get_detections(
-            model, xs, metas, {"prThreshold": 0.05, "nmsThreshold": 0.5})
+        with chiplock.queue_busy():
+            detections += detect_layer.get_detections(
+                model, xs, metas, {"prThreshold": 0.05,
+                                   "nmsThreshold": 0.5})
         print("eval batch %d/%d (%.0fs)" % (bi + 1, args.eval_batches,
                                             time.time() - t0), flush=True)
     run_eval(model, detections, args.size, tag="x768 ")
@@ -99,15 +104,17 @@ def main(argv=None):
     srng = numpy.random.RandomState(3)
     xs_dev = [jnp.asarray(gen_u8(srng, 8, args.size, model.class_num)[0])
               for _ in range(8)]
-    fn = model.build_full_detect_fn(detect_layer, 0.05, 0.5)
-    params = model.inference_params()
-    dets, _ = fn(params, model.state, xs_dev[0])
-    numpy.asarray(dets)[:1]
-    t0 = time.time()
-    for i in range(args.bench_iters):
-        dets, _ = fn(params, model.state, xs_dev[i % len(xs_dev)])
-    numpy.asarray(dets)[:1]
-    dt = time.time() - t0
+    chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+    with chiplock.queue_busy():
+        fn = model.build_full_detect_fn(detect_layer, 0.05, 0.5)
+        params = model.inference_params()
+        dets, _ = fn(params, model.state, xs_dev[0])
+        numpy.asarray(dets)[:1]
+        t0 = time.time()
+        for i in range(args.bench_iters):
+            dets, _ = fn(params, model.state, xs_dev[i % len(xs_dev)])
+        numpy.asarray(dets)[:1]
+        dt = time.time() - t0
     hz = 8 * args.bench_iters / dt
     print(json.dumps({"metric": args.tag,
                       "value": round(hz, 2), "unit": "images/sec",

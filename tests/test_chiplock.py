@@ -9,12 +9,43 @@ from denet_tpu.utils import chiplock
 
 def test_lock_lifecycle(tmp_path):
     path = str(tmp_path / "bench.lock")
+    busy = str(tmp_path / "queue.busy")   # isolate from any real queue
     assert chiplock.lock_age(path) is None
-    with chiplock.bench_lock(path):
+    with chiplock.bench_lock(path, busy_path=busy):
         age = chiplock.lock_age(path)
         assert age is not None and age < 5.0
     assert chiplock.lock_age(path) is None
     assert not os.path.exists(path)
+
+
+def test_queue_busy_marker_lifecycle(tmp_path):
+    busy = str(tmp_path / "queue.busy")
+    with chiplock.queue_busy(busy):
+        assert chiplock.lock_age(busy) is not None
+    assert not os.path.exists(busy)
+
+
+def test_bench_waits_for_fresh_busy_marker(tmp_path):
+    """A bench arriving mid-queue-block waits (bounded) for the block to
+    finish before taking the lock (ADVICE round 3, item 4)."""
+    path = str(tmp_path / "bench.lock")
+    busy = str(tmp_path / "queue.busy")
+    with open(busy, "w") as f:
+        f.write("row in flight")
+    msgs = []
+    t0 = time.time()
+    with chiplock.bench_lock(path, log=msgs.append, busy_path=busy,
+                             busy_max_wait_s=0.2, busy_poll_s=0.05):
+        waited = time.time() - t0
+    assert waited >= 0.2                  # held for the whole (tiny) budget
+    assert msgs and "busy" in msgs[0]
+    # stale marker (crashed queue block): no wait
+    old = time.time() - 3600
+    os.utime(busy, (old, old))
+    t0 = time.time()
+    with chiplock.bench_lock(path, busy_path=busy,
+                             busy_max_wait_s=5.0, busy_poll_s=0.05):
+        assert time.time() - t0 < 1.0
 
 
 def test_yield_no_lock_returns_immediately(tmp_path):

@@ -34,11 +34,14 @@ CLASS_NUM = 5
 def _no_chiplock():
     """The scripts yield to a /tmp bench lock; under pytest a concurrent
     real-chip bench (the background queue) must not stall the CPU suite."""
+    import contextlib
+
     from denet_tpu.utils import chiplock
-    orig = chiplock.yield_to_bench
+    orig_yield, orig_busy = chiplock.yield_to_bench, chiplock.queue_busy
     chiplock.yield_to_bench = lambda *a, **k: 0.0
+    chiplock.queue_busy = lambda *a, **k: contextlib.nullcontext()
     yield
-    chiplock.yield_to_bench = orig
+    chiplock.yield_to_bench, chiplock.queue_busy = orig_yield, orig_busy
 
 
 @pytest.fixture(scope="module")

@@ -117,11 +117,28 @@ class bench_lock(_marker):
 
 
 def lock_age(path=LOCK_PATH):
-    """Age of the lock in seconds, or None if absent."""
+    """Age of the lock in seconds, or None if absent or its holder is dead.
+
+    Lock/marker files record "pid time"; a killed holder (timeout sends
+    SIGKILL after the grace period — __exit__ never runs) leaves the file
+    behind, which froze the queue for the full staleness window twice in
+    round 4.  A dead pid means the lock is void NOW, not in stale_s."""
     try:
-        return time.time() - os.path.getmtime(path)
+        age = time.time() - os.path.getmtime(path)
     except OSError:
         return None
+    try:
+        with open(path) as f:
+            pid = int(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return age                         # unreadable: age heuristic only
+    try:
+        os.kill(pid, 0)                    # signal 0: existence check
+    except ProcessLookupError:
+        return None                        # holder is dead: lock is void
+    except OSError:
+        pass                               # e.g. EPERM: alive, not ours
+    return age
 
 
 def yield_to_bench(path=LOCK_PATH, stale_s=STALE_S, max_wait_s=MAX_WAIT_S,

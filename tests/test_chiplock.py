@@ -68,6 +68,21 @@ def test_yield_waits_while_fresh_then_resumes(tmp_path):
     assert chiplock.yield_to_bench(path, poll_s=0.05) == 0.0
 
 
+def test_dead_holder_lock_is_void(tmp_path):
+    """A lock whose recorded pid no longer exists is void immediately —
+    a SIGKILLed bench (timeout grace expiry) must not freeze the queue
+    for the whole staleness window (round-4 postmortem)."""
+    path = str(tmp_path / "bench.lock")
+    with open(path, "w") as f:
+        f.write("999999999 0.0")           # pid far above pid_max
+    assert chiplock.lock_age(path) is None
+    assert chiplock.yield_to_bench(path, poll_s=0.05) == 0.0
+    # a live holder's lock still counts
+    with open(path, "w") as f:
+        f.write("%d 0.0" % os.getpid())
+    assert chiplock.lock_age(path) is not None
+
+
 def test_stale_lock_ignored(tmp_path):
     path = str(tmp_path / "bench.lock")
     with open(path, "w") as f:

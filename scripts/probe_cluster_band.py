@@ -34,11 +34,17 @@ from denet_tpu.ops import cluster_device as cd
 _keep = []
 
 
-def timeit(name, fn, args, iters=20):
+def timeit(name, fn, args, iters=8):
+    print("  [%s] compiling %s ..." % (time.strftime("%H:%M:%S"), name),
+          flush=True)
     fn = jax.jit(fn)
     _keep.append(fn)
+    t_c = time.time()
     r = fn(*args)
     numpy.asarray(jax.tree_util.tree_leaves(r)[-1]).ravel()[:1]
+    print("  [%s] warm (%.0fs), timing ..." % (time.strftime("%H:%M:%S"),
+                                               time.time() - t_c),
+          flush=True)
     t0 = time.time()
     for _ in range(iters):
         r = fn(*args)
@@ -99,6 +105,9 @@ def _main():
         valid = jnp.ones((b, n), bool)
         idx = jnp.arange(n, dtype=jnp.int32)
         print("--- N=%d W=%d b=%d ---" % (n, w, b), flush=True)
+        # pay the one-time d2h link transition before any timed window
+        numpy.asarray(jnp.zeros(8) + 1.0)
+        print("  link transition done", flush=True)
 
         timeit("dense adjacency", lambda bb, v: jax.vmap(
             lambda b_, v_: cd._adjacency(b_, v_, th))(bb, v).sum(2),

@@ -423,17 +423,29 @@ class Model:
 
         return _keepalive(jax.jit(run))
 
-    def calibrate_cluster_cap(self, detect_layer, batches, margin=1.25):
+    def calibrate_cluster_cap(self, detect_layer, batches, margin=1.25,
+                              policy="max"):
         """Measure pre-clustering candidate counts on representative batches
-        and derive + install the serving cluster cap (``self.cluster_cap``),
-        per the ops/cluster_device.auto_cap policy.  Returns (cap, max_count).
+        and derive + install the serving cluster cap (``self.cluster_cap``).
+        Returns (cap, max_count).
+
+        ``policy="max"`` is ops/cluster_device.auto_cap (next pow2 >=
+        margin*max — every calibration batch fits, escalation only fires on
+        distribution shift).  ``policy="opt"`` is auto_cap_opt: the
+        expected-cost argmin over the measured per-batch count distribution,
+        where rare crowded batches escalate to the reference cap at serve
+        time instead of taxing every batch with their quadratic adjacency
+        (lossless either way — see the escalation guards in denet_detect).
+        "opt" additionally times the counting prefix on batches[0] to
+        estimate the cap-independent pipeline floor.  Per-batch maxima and
+        the chosen policy land in ``self.cluster_cap_stats``.
 
         The counting jit runs only trunk + corner head + corner search at
         the reference-faithful cap (10*sample_count — denet_sparse.cc's
         admission bound), so counts below it are exact.  One-time
         calibration cost, standard serving practice (the int8 path already
         calibrates activation scales the same way)."""
-        from denet_tpu.ops.cluster_device import auto_cap
+        from denet_tpu.ops.cluster_device import auto_cap, auto_cap_opt
         from denet_tpu.ops.corner_search_device import corner_search
 
         sparse = detect_layer.sparse_layer
@@ -459,12 +471,33 @@ class Model:
 
         fn = _keepalive(jax.jit(run))
         params = self.inference_params()
-        max_count = 0
+        batches = list(batches)
+        batch_maxima = []
         for x in batches:
             counts = numpy.asarray(fn(params, self.state, jnp.asarray(x)))
-            max_count = max(max_count, int(counts.max()))
-        cap = auto_cap(max_count, sn * sn, margin)
+            batch_maxima.append(int(counts.max()))
+        max_count = max(batch_maxima)
+        stats = {"policy": policy, "batch_maxima": batch_maxima,
+                 "margin": margin}
+        if policy == "opt":
+            import time as _time
+            xj = jnp.asarray(batches[0])
+            batch = int(xj.shape[0])
+            fn(params, self.state, xj)            # settle (already compiled)
+            t0 = _time.time()
+            iters = 4
+            for _ in range(iters):
+                c_ = fn(params, self.state, xj)
+            numpy.asarray(c_)                     # drain the exec queue
+            t_prefix = (_time.time() - t0) / iters
+            cap = auto_cap_opt(batch_maxima, sn * sn, batch, t_prefix,
+                               margin)
+            stats["t_prefix_ms"] = round(t_prefix * 1e3, 3)
+        else:
+            cap = auto_cap(max_count, sn * sn, margin)
+        stats["cap"] = cap
         self.cluster_cap = cap
+        self.cluster_cap_stats = stats
         return cap, max_count
 
     def build_detect_nms_fn(self, detect_layer, pr_threshold, nms_threshold,

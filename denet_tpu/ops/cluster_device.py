@@ -236,6 +236,63 @@ def auto_cap(max_count, sample_count, margin=1.25):
     return min(cap, ref_cap)
 
 
+# Expected-cost model constants, measured on v5e (PERF.md round-4 "wide
+# serving profile"): clustering adds ~8.4 ms/batch-of-8 at cap 4096, i.e.
+# B = 8.4e-3 / (8 * 4096^2) s per image per cap^2; the cap-independent
+# pipeline floor is ~1.7x the counting prefix (15.0 ms full pipeline vs
+# 8.7 ms trunk+corner+search) — 1.8 used as a conservative estimate.
+_CAP_B_PER_IMAGE = 6.3e-11
+_CAP_FLOOR_OVER_PREFIX = 1.8
+
+
+def auto_cap_opt(batch_maxima, sample_count, batch, t_prefix_s, margin=1.25):
+    """Expected-cost-optimal serving cluster cap (PERF.md round-4).
+
+    ``auto_cap``'s max-based policy is pessimistic: ONE crowded draw forces
+    EVERY batch to pay the quadratic adjacency at the max-demanded cap,
+    while serving escalation (DeNetDetectLayer._get_detections_device /
+    get_detections_batched) already makes any cap lossless by re-running
+    the rare saturated batch at the reference cap.  The optimal default
+    therefore minimizes expected time over the calibration distribution:
+
+        E(c) = A + B*c^2 + f(c) * (A + B*ref^2)
+
+    where ``f(c)`` is the fraction of calibration batches whose
+    margin-scaled max candidate count reaches ``c`` (margin-scaling makes
+    f conservative — predicted escalations are an overestimate), ``B`` the
+    measured quadratic clustering coefficient, and ``A`` the
+    cap-independent pipeline floor estimated from the timed counting
+    prefix ``t_prefix_s`` (seconds/batch).  Escalation keeps the result
+    EXACT no matter how wrong the estimates are — the policy only moves
+    time, never detections.
+
+    Candidate caps are powers of two >= sample_count (the clustering
+    output budget) plus the reference cap itself (where escalation is
+    impossible, so f is forced to 0)."""
+    ref_cap = 10 * sample_count
+    maxima = [int(m) for m in batch_maxima] or [0]
+    a_est = _CAP_FLOOR_OVER_PREFIX * float(t_prefix_s)
+    b_coef = _CAP_B_PER_IMAGE * int(batch)
+    t_ref = a_est + b_coef * ref_cap * ref_cap
+    cands = []
+    c = 1
+    while c < ref_cap:
+        if c >= sample_count:
+            cands.append(c)
+        c *= 2
+    cands.append(ref_cap)
+    best, best_e = None, None
+    for c in cands:
+        if c == ref_cap:
+            f = 0.0
+        else:
+            f = sum(1 for m in maxima if margin * m >= c) / len(maxima)
+        e = a_est + b_coef * c * c + f * t_ref
+        if best_e is None or e < best_e - 1e-12:
+            best, best_e = c, e
+    return best
+
+
 def cluster_candidates_host_format(bbox, pr, count, threshold, input_num,
                                    output_num):
     """Drop-in signature match for ops.native.cluster_samples (tests)."""

@@ -243,6 +243,25 @@ def test_auto_cap_policy():
     assert auto_cap(0, 4) == 4
 
 
+def test_auto_cap_opt_policy():
+    """auto_cap_opt: expected-cost argmin — serve at the distribution's
+    working cap and escalate rare crowded batches instead of sizing every
+    batch for the worst draw (the round-4 sweep's failure mode: retrained
+    v2 rows all calibrated to cap 4096 off single crowded draws)."""
+    from denet_tpu.ops.cluster_device import auto_cap, auto_cap_opt
+    sn2, b, tp = 576, 8, 0.0087   # wide34_v2's measured operating point
+    # tight distribution: agrees with the max policy
+    assert auto_cap_opt([700] * 12, sn2, b, tp) == auto_cap(700, sn2) == 1024
+    # heavy tail: one crowded batch of 12 -> serve low, escalate the one
+    # (the max policy would force cap 4096 on every batch)
+    assert auto_cap(2300, sn2) == 4096
+    assert auto_cap_opt([500] * 11 + [2300], sn2, b, tp) == 1024
+    # all batches crowded: escalating everything loses to the big cap
+    assert auto_cap_opt([2300] * 12, sn2, b, tp) == 4096
+    # pathological counts: the reference cap itself (escalation-free) wins
+    assert auto_cap_opt([10 ** 6] * 12, sn2, b, tp) == 5760
+
+
 def test_calibrated_cap_lossless_and_escalation():
     """Any cap >= the observed candidate count returns exactly the
     reference-cap detections (losslessness the serving default relies on);
@@ -300,6 +319,17 @@ def test_calibrated_cap_lossless_and_escalation():
     # reference cap and returns the identical result
     sat = det.get_detections(model, x, metas, dict(base, clusterCap=1))
     assert_same(sat, ref)
+
+    # "opt" policy: installs a cap, records calibration stats, and the
+    # serving default still returns the reference-cap result exactly
+    cap_o, max_o = model.calibrate_cluster_cap(det, [x], policy="opt")
+    assert max_o == max_count
+    assert model.cluster_cap == cap_o
+    st = model.cluster_cap_stats
+    assert st["policy"] == "opt" and st["batch_maxima"] == [max_count]
+    assert "t_prefix_ms" in st and st["cap"] == cap_o
+    auto_opt = det.get_detections(model, x, metas, dict(base))
+    assert_same(auto_opt, ref)
 
 
 def test_distinct_second_quota_variant():

@@ -483,6 +483,27 @@ class DeNetDetectLayer(Layer):
 
         model.ensure_on_device()
         use_int8 = params.get("useInt8", 0) == 1
+        # capCalib=N: self-calibrating serving cluster cap (v2 models) —
+        # accumulate the first N serving batches, then derive + install the
+        # expected-cost-optimal cap (Model.calibrate_cluster_cap, policy
+        # "opt"; pass capPolicy=max for the pessimistic next-pow2 policy).
+        # Mirrors the int8 activation-scale calibration pattern; results
+        # never depend on the choice (saturation escalates below).
+        calib_n = int(params.get("capCalib", 0))
+        if (calib_n > 0 and "clusterCap" not in params
+                and self.sparse_layer.nms_threshold < 1.0
+                and getattr(model, "cluster_cap", None) is None):
+            self._cap_calib = getattr(self, "_cap_calib", [])
+            self._cap_calib.append(numpy.asarray(data_x))
+            if len(self._cap_calib) >= calib_n:
+                policy = str(params.get("capPolicy", "opt"))
+                cap, mx = model.calibrate_cluster_cap(
+                    self, self._cap_calib, policy=policy)
+                self._cap_calib = []
+                logging.info(
+                    "capCalib: serving cluster cap %d installed (policy %s, "
+                    "observed max %d over %d batches)" % (
+                        cap, policy, mx, calib_n))
         # clusterCap bounds the candidates entering device corner clustering
         # (v2 models only; default in build_full_detect_fn).  PERF.md: the
         # N^2 clustering cost scales quadratically with the cap while any
@@ -664,6 +685,26 @@ class DeNetDetectLayer(Layer):
             return results
 
         model.ensure_on_device()
+        # capCalib=N upfront on the batched path: materialize the first N
+        # batches, calibrate + install the serving cap, then serve them
+        # (same knob as _get_detections_device; the recursive staged call
+        # skips re-calibration because model.cluster_cap is then set)
+        calib_n = int(params.get("capCalib", 0))
+        if (calib_n > 0 and "clusterCap" not in params
+                and self.sparse_layer.nms_threshold < 1.0
+                and getattr(model, "cluster_cap", None) is None):
+            import itertools
+            batches = iter(batches)
+            head = list(itertools.islice(batches, calib_n))
+            if head:
+                policy = str(params.get("capPolicy", "opt"))
+                cap, mx = model.calibrate_cluster_cap(
+                    self, [x for x, _ in head], policy=policy)
+                logging.info(
+                    "capCalib: serving cluster cap %d installed (policy %s, "
+                    "observed max %d over %d batches)" % (
+                        cap, policy, mx, len(head)))
+            batches = itertools.chain(head, batches)
         # same cache key layout as _get_detections_device (the batched path
         # always uses the bf16 pipeline; int8 flag kept for key parity).
         # clusterCap follows the calibrated serving default; saturation

@@ -257,20 +257,30 @@ def auto_cap_opt(batch_maxima, sample_count, batch, t_prefix_s, margin=1.25):
 
         E(c) = A + B*c^2 + f(c) * (A + B*ref^2)
 
-    where ``f(c)`` is the fraction of calibration batches whose
-    margin-scaled max candidate count reaches ``c`` (margin-scaling makes
-    f conservative — predicted escalations are an overestimate), ``B`` the
-    measured quadratic clustering coefficient, and ``A`` the
-    cap-independent pipeline floor estimated from the timed counting
-    prefix ``t_prefix_s`` (seconds/batch).  Escalation keeps the result
-    EXACT no matter how wrong the estimates are — the policy only moves
-    time, never detections.
+    where ``f(c)`` is the fraction of calibration batches whose RAW max
+    candidate count reaches ``c`` — exactly the serving guard's escalation
+    rule (count >= cap), so f is the true escalation frequency on the
+    calibration distribution.  Do NOT margin-scale f: escalation already
+    makes every unseen-data outcome lossless, so inflating predicted
+    escalations only re-buys safety the guard provides for free (the
+    first A/B run of this policy picked cap 4096 for a distribution whose
+    maxima all fit 2048 with zero escalations — a ~27%% serving loss).
+    ``margin`` is accepted for signature parity with auto_cap but unused:
+    drift headroom is exactly what escalation provides (results stay
+    exact; under PERSISTENT drift the right response is recalibration —
+    rerun calibrate_cluster_cap / serve with capCalib — not a permanently
+    larger cap).  ``B`` is the measured quadratic clustering coefficient,
+    ``A`` the cap-independent pipeline floor estimated from the timed
+    counting prefix ``t_prefix_s`` (seconds/batch).  Escalation keeps the
+    result EXACT no matter how wrong the estimates are — the policy only
+    moves time, never detections.
 
     Candidate caps are powers of two >= sample_count (the clustering
     output budget) plus the reference cap itself (where escalation is
     impossible, so f is forced to 0)."""
+    del margin   # see docstring: escalation supersedes drift headroom
     ref_cap = 10 * sample_count
-    maxima = [int(m) for m in batch_maxima] or [0]
+    maxima = sorted(int(m) for m in batch_maxima) or [0]
     a_est = _CAP_FLOOR_OVER_PREFIX * float(t_prefix_s)
     b_coef = _CAP_B_PER_IMAGE * int(batch)
     t_ref = a_est + b_coef * ref_cap * ref_cap
@@ -286,7 +296,7 @@ def auto_cap_opt(batch_maxima, sample_count, batch, t_prefix_s, margin=1.25):
         if c == ref_cap:
             f = 0.0
         else:
-            f = sum(1 for m in maxima if margin * m >= c) / len(maxima)
+            f = sum(1 for m in maxima if m >= c) / len(maxima)
         e = a_est + b_coef * c * c + f * t_ref
         if best_e is None or e < best_e - 1e-12:
             best, best_e = c, e

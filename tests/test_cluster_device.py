@@ -260,6 +260,12 @@ def test_auto_cap_opt_policy():
     assert auto_cap_opt([2300] * 12, sn2, b, tp) == 4096
     # pathological counts: the reference cap itself (escalation-free) wins
     assert auto_cap_opt([10 ** 6] * 12, sn2, b, tp) == 5760
+    # f must use RAW counts (the serving guard's rule), not margin-scaled:
+    # the wide101_v2 calibration profile — several batches near (but
+    # under) 2048 — serves at 2048 with ZERO escalations; margin-scaling f
+    # mispicked 4096 here (the first hardware A/B of this policy)
+    wide101 = [1700] * 6 + [900] * 5 + [1870]
+    assert auto_cap_opt(wide101, sn2, b, tp) == 2048
 
 
 def test_calibrated_cap_lossless_and_escalation():
@@ -330,6 +336,79 @@ def test_calibrated_cap_lossless_and_escalation():
     assert "t_prefix_ms" in st and st["cap"] == cap_o
     auto_opt = det.get_detections(model, x, metas, dict(base))
     assert_same(auto_opt, ref)
+
+
+def test_cap_calib_serving_knob():
+    """--params capCalib=N: the serving entries self-calibrate + install
+    the cluster cap from the first N batches (opt policy by default) and
+    return reference-cap-exact detections."""
+    import jax
+
+    model = build_v2_model()
+    det = model.layers[-1]
+    ci = det.sparse_layer.corner_layer.layer_index
+    prng = numpy.random.RandomState(11)
+
+    def perturb(a):
+        a = numpy.asarray(a)
+        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
+        return out + 3.0 if a.ndim == 1 else out
+
+    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+
+    rng = numpy.random.RandomState(5)
+    xs = [rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+          for _ in range(2)]
+    metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6)], "class": [b % 3]}
+             for b in range(2)]
+    base = {"prThreshold": 0.0001, "nmsThreshold": 0.5}
+    sn = det.sparse_layer.sample_num
+    ref_cap = 10 * sn * sn
+
+    refs = [det.get_detections(model, x, metas,
+                               dict(base, clusterCap=ref_cap)) for x in xs]
+    assert sum(len(r["detections"]) for rs in refs for r in rs) > 0
+
+    def assert_same(a, b):
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert len(ra["detections"]) == len(rb["detections"])
+            for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
+                                                  rb["detections"]):
+                assert ca == cb and abs(pa - pb) < 1e-6
+                numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+
+    # per-batch serving entry: calibrates over the first 2 batches (the
+    # second batch completes the window and installs the cap)
+    assert getattr(model, "cluster_cap", None) is None
+    p = dict(base, capCalib=2)
+    got = [det.get_detections(model, x, metas, p) for x in xs]
+    assert model.cluster_cap is not None
+    assert model.cluster_cap < ref_cap
+    assert model.cluster_cap_stats["policy"] == "opt"
+    for g, r in zip(got, refs):
+        assert_same(g, r)
+    # post-calibration serving uses the installed cap, still exact
+    assert_same(det.get_detections(model, xs[0], metas, base), refs[0])
+
+    # batched serving entry on a fresh model state (capPolicy=max variant)
+    model2 = build_v2_model()
+    prng2 = numpy.random.RandomState(11)
+
+    def perturb2(a):
+        a = numpy.asarray(a)
+        out = prng2.normal(0, 1.0, a.shape).astype(numpy.float32)
+        return out + 3.0 if a.ndim == 1 else out
+
+    model2.params[ci] = jax.tree_util.tree_map(perturb2, model2.params[ci])
+    det2 = model2.layers[-1]
+    batched = det2.get_detections_batched(
+        model2, iter([(x, metas) for x in xs]),
+        dict(base, capCalib=2, capPolicy="max"))
+    assert model2.cluster_cap is not None
+    assert model2.cluster_cap_stats["policy"] == "max"
+    flat_ref = [r for rs in refs for r in rs]
+    assert_same(batched, flat_ref)
 
 
 def test_distinct_second_quota_variant():

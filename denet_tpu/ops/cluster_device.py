@@ -276,20 +276,31 @@ def auto_cap_opt(batch_maxima, sample_count, batch, t_prefix_s, margin=1.25):
     moves time, never detections.
 
     Candidate caps are powers of two >= sample_count (the clustering
-    output budget) plus the reference cap itself (where escalation is
-    impossible, so f is forced to 0)."""
+    output budget) UNION lane-aligned multiples of 256 (the adjacency is
+    pure XLA compare/min over (B, N, N) — any N that tiles the 128-lane
+    VPU cleanly is as fast per element as a power of two, and the 256
+    grid halves the worst-case quadratic overshoot: wide34_v2's observed
+    max 2283 caps at 2304 instead of 4096, a ~3x smaller N^2 term), plus
+    the reference cap itself (where escalation is impossible, so f is
+    forced to 0)."""
     del margin   # see docstring: escalation supersedes drift headroom
     ref_cap = 10 * sample_count
     maxima = sorted(int(m) for m in batch_maxima) or [0]
     a_est = _CAP_FLOOR_OVER_PREFIX * float(t_prefix_s)
     b_coef = _CAP_B_PER_IMAGE * int(batch)
     t_ref = a_est + b_coef * ref_cap * ref_cap
-    cands = []
+    cset = set()
     c = 1
     while c < ref_cap:
         if c >= sample_count:
-            cands.append(c)
+            cset.add(c)
         c *= 2
+    c = 256
+    while c < ref_cap:
+        if c >= sample_count:
+            cset.add(c)
+        c += 256
+    cands = sorted(cset)
     cands.append(ref_cap)
     best, best_e = None, None
     for c in cands:

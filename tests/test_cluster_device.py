@@ -250,14 +250,22 @@ def test_auto_cap_opt_policy():
     v2 rows all calibrated to cap 4096 off single crowded draws)."""
     from denet_tpu.ops.cluster_device import auto_cap, auto_cap_opt
     sn2, b, tp = 576, 8, 0.0087   # wide34_v2's measured operating point
-    # tight distribution: agrees with the max policy
-    assert auto_cap_opt([700] * 12, sn2, b, tp) == auto_cap(700, sn2) == 1024
-    # heavy tail: one crowded batch of 12 -> serve low, escalate the one
+    # tight distribution: the 256-grid serves just above the observed max
+    # (768 >= 700, escalation-free) where the pow2 max policy pays 1024
+    assert auto_cap(700, sn2) == 1024
+    assert auto_cap_opt([700] * 12, sn2, b, tp) == 768
+    # heavy tail: one crowded batch of 12 — with the 256 grid the argmin
+    # covers the tail at 2304 (f=0) rather than escalating it, because the
+    # quadratic penalty of 2304 is smaller than 1/12 reference-cap reruns
     # (the max policy would force cap 4096 on every batch)
     assert auto_cap(2300, sn2) == 4096
-    assert auto_cap_opt([500] * 11 + [2300], sn2, b, tp) == 1024
-    # all batches crowded: escalating everything loses to the big cap
-    assert auto_cap_opt([2300] * 12, sn2, b, tp) == 4096
+    assert auto_cap_opt([500] * 11 + [2300], sn2, b, tp) == 2304
+    # a rarer tail (1/48) tips the argmin back to serve-low + escalate
+    # (768 is the smallest grid point >= the sample_count floor 576)
+    assert auto_cap_opt([500] * 47 + [2300], sn2, b, tp) == 768
+    # all batches crowded: lane-aligned 2304, not pow2 4096 — the round-4
+    # wide34_v2 case (observed max 2283 over 12 rotated batches)
+    assert auto_cap_opt([2283] * 12, sn2, b, tp) == 2304
     # pathological counts: the reference cap itself (escalation-free) wins
     assert auto_cap_opt([10 ** 6] * 12, sn2, b, tp) == 5760
     # f must use RAW counts (the serving guard's rule), not margin-scaled:
@@ -266,6 +274,9 @@ def test_auto_cap_opt_policy():
     # mispicked 4096 here (the first hardware A/B of this policy)
     wide101 = [1700] * 6 + [900] * 5 + [1870]
     assert auto_cap_opt(wide101, sn2, b, tp) == 2048
+    # the grid floors at sample_count and never exceeds the reference cap
+    assert auto_cap_opt([0] * 12, sn2, b, tp) >= sn2
+    assert auto_cap_opt([5759] * 12, 576, b, tp) == 5760
 
 
 def test_calibrated_cap_lossless_and_escalation():

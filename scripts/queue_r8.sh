@@ -21,9 +21,20 @@ T="timeout 10800 python -u scripts/train_flagship_synth.py --dist hard --eval-ba
 step() { echo "=== [$(date +%H:%M:%S)] $1 ==="; }
 
 step wait_r7
+# r7 writes its pid file only after ITS OWN wait on r6 completes, so a pid
+# check alone races (the first r8 launch started training concurrently with
+# r6 — killed within a minute).  Wait for r7's DONE marker, with a liveness
+# fallback: if no queue_r7.sh process exists AND the marker is absent, r7
+# crashed — proceed rather than hang forever.
+r7_alive() {
+    for p in /proc/[0-9]*/cmdline; do
+        tr '\0' ' ' < "$p" 2>/dev/null | grep -q "queue_r7.sh" && return 0
+    done
+    return 1
+}
 while true; do
-    pid=$(cat /tmp/queue_r7.pid 2>/dev/null)
-    [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null || break
+    grep -q "DONE" /tmp/queue_r7.log 2>/dev/null && break
+    r7_alive || { echo "queue_r7 not alive and no DONE marker — proceeding"; break; }
     sleep 60
 done
 

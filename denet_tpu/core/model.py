@@ -363,9 +363,12 @@ class Model:
         is 10*sample_count, 23040 for the wide config — a 530MB bitmap).
         ``None`` resolves to ``self.cluster_cap`` when set (the calibrated
         serving cap from calibrate_cluster_cap) else the legacy 6144
-        default.  ``return_cand_count=True`` appends the pre-clustering
-        candidate count (B,) to the outputs so callers can detect cap
-        saturation (count == cap) and escalate to the reference cap.
+        default.  ``return_cand_count=True`` PACKS the pre-clustering
+        candidate count into one extra sentinel det row (row top_n:
+        score=+1.0, cls slot = count — dets_to_lists ignores sentinel
+        rows) so guarded callers read detections AND the count in a single
+        device->host transfer, detect cap saturation (count >= cap) and
+        escalate to the reference cap.
         """
         from denet_tpu.ops import nms_device
         from denet_tpu.ops.corner_search_device import corner_search
@@ -418,13 +421,17 @@ class Model:
                 pr_threshold=pr_threshold, nms_threshold=nms_threshold,
                 top_m=top_m, top_n=top_n, use_soft_nms=use_soft_nms)
             if return_cand_count:
-                return dets, det_count, cand_count
+                extra = jnp.zeros((dets.shape[0], 1, dets.shape[2]),
+                                  dets.dtype)
+                extra = extra.at[:, 0, 0].set(1.0)   # +1.0 score sentinel
+                extra = extra.at[:, 0, 1].set(cand_count.astype(dets.dtype))
+                return jnp.concatenate([dets, extra], axis=1), det_count
             return dets, det_count
 
         return _keepalive(jax.jit(run))
 
     def calibrate_cluster_cap(self, detect_layer, batches, margin=1.25,
-                              policy="max"):
+                              policy="max", corner_k=256):
         """Measure pre-clustering candidate counts on representative batches
         and derive + install the serving cluster cap (``self.cluster_cap``).
         Returns (cap, max_count).
@@ -444,7 +451,13 @@ class Model:
         the reference-faithful cap (10*sample_count — denet_sparse.cc's
         admission bound), so counts below it are exact.  One-time
         calibration cost, standard serving practice (the int8 path already
-        calibrates activation scales the same way)."""
+        calibrates activation scales the same way).
+
+        ``corner_k`` must match the serving pipeline's cornerK (more
+        corners per type -> more candidate pairs): callers pass the same
+        value they serve with.  The installed cap is per-model, not
+        per-cornerK — a process serving several cornerK values keeps exact
+        results via escalation but should recalibrate for the larger k."""
         from denet_tpu.ops.cluster_device import auto_cap, auto_cap_opt
         from denet_tpu.ops.corner_search_device import corner_search
 
@@ -465,8 +478,8 @@ class Model:
             corner_pr = ctx.collect[corner_index]["corner_pr"]
             diff = corner_pr[:, 0] - corner_pr[:, 1]
             _, _, count = corner_search(
-                diff, sparse.corner_threshold, sn, out_count=ref_cap,
-                local_max=sparse.local_max)
+                diff, sparse.corner_threshold, sn, corner_k,
+                out_count=ref_cap, local_max=sparse.local_max)
             return count
 
         fn = _keepalive(jax.jit(run))
@@ -478,12 +491,16 @@ class Model:
             batch_maxima.append(int(counts.max()))
         max_count = max(batch_maxima)
         stats = {"policy": policy, "batch_maxima": batch_maxima,
-                 "margin": margin}
+                 "margin": margin, "corner_k": corner_k}
         if policy == "opt":
             import time as _time
             xj = jnp.asarray(batches[0])
             batch = int(xj.shape[0])
-            fn(params, self.state, xj)            # settle (already compiled)
+            # settle AND drain before t0 — an async settle dispatch left in
+            # the queue executes inside the timed window, inflating t_prefix
+            # ~25% (5 executions over 4 iters) and biasing the argmin to
+            # larger caps
+            numpy.asarray(fn(params, self.state, xj))
             t0 = _time.time()
             iters = 4
             for _ in range(iters):

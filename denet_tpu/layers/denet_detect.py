@@ -498,7 +498,8 @@ class DeNetDetectLayer(Layer):
             if len(self._cap_calib) >= calib_n:
                 policy = str(params.get("capPolicy", "opt"))
                 cap, mx = model.calibrate_cluster_cap(
-                    self, self._cap_calib, policy=policy)
+                    self, self._cap_calib, policy=policy,
+                    corner_k=int(params.get("cornerK", 256)))
                 self._cap_calib = []
                 logging.info(
                     "capCalib: serving cluster cap %d installed (policy %s, "
@@ -583,15 +584,20 @@ class DeNetDetectLayer(Layer):
                   jnp.asarray(data_x))
         dets = outs[0]
         if not use_int8 and guard:
-            cand_count = numpy.asarray(outs[2])
-            if int(cand_count.max()) >= cluster_cap:
+            # the fused fn packs the pre-clustering candidate count into a
+            # final sentinel det row (build_full_detect_fn), so detections
+            # AND the saturation check cost ONE device->host transfer —
+            # a separate count read doubled per-batch latency on the link
+            packed = numpy.asarray(dets)
+            cand_max = int(packed[:, -1, 1].max())
+            if cand_max >= cluster_cap:
                 logging.info(
                     "cluster cap %d saturated (count %d); escalating batch "
-                    "to reference cap %d" % (cluster_cap,
-                                             int(cand_count.max()), ref_cap))
+                    "to reference cap %d" % (cluster_cap, cand_max, ref_cap))
                 return self._get_detections_device(
                     model, data_x, data_m, pr_threshold, nms_threshold,
                     dict(params, clusterCap=ref_cap), use_soft_nms)
+            dets = packed[:, :-1]
         detlists = nms_device.dets_to_lists(dets)   # one host transfer
         timer.mark()
 
@@ -699,7 +705,8 @@ class DeNetDetectLayer(Layer):
             if head:
                 policy = str(params.get("capPolicy", "opt"))
                 cap, mx = model.calibrate_cluster_cap(
-                    self, [x for x, _ in head], policy=policy)
+                    self, [x for x, _ in head], policy=policy,
+                    corner_k=int(params.get("cornerK", 256)))
                 logging.info(
                     "capCalib: serving cluster cap %d installed (policy %s, "
                     "observed max %d over %d batches)" % (
@@ -730,21 +737,34 @@ class DeNetDetectLayer(Layer):
                 cluster_cap=cluster_cap, return_cand_count=guard)
         fn = self._full_fn[key]
 
-        esc = {"fn": None}
+        def esc_fn():
+            # reference-cap escalation fn, cached in self._full_fn under the
+            # same key layout the device path uses (clusterCap=ref_cap,
+            # guard off) so later calls — batched or single — never pay the
+            # multi-minute remote recompile again
+            esc_key = key[:7] + (ref_cap, key[8])
+            if esc_key not in self._full_fn:
+                logging.info(
+                    "cluster cap %d saturated; building reference-cap "
+                    "(%d) escalation fn" % (cluster_cap, ref_cap))
+                self._full_fn[esc_key] = model.build_full_detect_fn(
+                    self, pr_threshold, nms_threshold, corner_k=key[2],
+                    top_m=key[3], top_n=key[4],
+                    use_soft_nms=use_soft_nms, cluster_cap=ref_cap)
+            return self._full_fn[esc_key]
 
-        def detlists_for(dets, cnt, data_x):
-            if guard and int(numpy.asarray(cnt).max()) >= cluster_cap:
-                if esc["fn"] is None:
-                    logging.info(
-                        "cluster cap %d saturated; building reference-cap "
-                        "(%d) escalation fn" % (cluster_cap, ref_cap))
-                    esc["fn"] = model.build_full_detect_fn(
-                        self, pr_threshold, nms_threshold, corner_k=key[2],
-                        top_m=key[3], top_n=key[4],
-                        use_soft_nms=use_soft_nms, cluster_cap=ref_cap)
-                dets = esc["fn"](model.inference_params(), model.state,
-                                 jnp.asarray(data_x))[0]
-            return nms_device.dets_to_lists(numpy.asarray(dets))
+        def detlists_for(dets, data_x):
+            # ONE device->host transfer: the guarded fn packs the candidate
+            # count into a sentinel det row (build_full_detect_fn)
+            arr = numpy.asarray(dets)
+            if guard:
+                if int(arr[:, -1, 1].max()) >= cluster_cap:
+                    dets2 = esc_fn()(model.inference_params(), model.state,
+                                     jnp.asarray(data_x))[0]
+                    arr = numpy.asarray(dets2)
+                else:
+                    arr = arr[:, :-1]
+            return nms_device.dets_to_lists(arr)
 
         if stage_batches > 1:
             def staged(src):
@@ -772,37 +792,48 @@ class DeNetDetectLayer(Layer):
         timer = common.Timer()
         n_images = 0
         if defer_downloads:
+            # bound retention: with the guard on, each deferred batch holds
+            # its input alive for a possible escalation re-run — on device
+            # when staged (HBM!), host RAM otherwise — so drain every
+            # drain_chunk batches instead of once at the end.  Without the
+            # guard only the small (B, top_n, 6) dets are retained.
+            drain_chunk = 64 if guard else (1 << 30)
             acc = []
+
+            def drain():
+                # plain per-batch transfers (no new ops -> no compiles);
+                # every upload/compute above was already dispatched async.
+                # saturation escalation (rare, guard only) happens here,
+                # outside the dispatch loop
+                for dets, dx, dm in acc:
+                    dl = detlists_for(dets, dx)
+                    results.extend({"detections": d, "meta": m}
+                                   for d, m in zip(dl, dm))
+                acc.clear()
+
             for data_x, data_m in batches:
                 xj = jnp.asarray(data_x)                       # async upload
                 outs = fn(model.inference_params(), model.state, xj)  # async
-                acc.append((outs[0], outs[2] if guard else None,
-                            data_x if guard else None, data_m))
+                acc.append((outs[0], data_x if guard else None, data_m))
                 n_images += len(data_m)
-            # drain: plain per-batch transfers (no new ops -> no compiles);
-            # every upload/compute above was already dispatched async.
-            # saturation escalation (rare, guard only) happens here, outside
-            # the dispatch loop
-            for dets, cnt, data_x, data_m in acc:
-                detlists = detlists_for(dets, cnt, data_x)
-                results += [{"detections": dl, "meta": m}
-                            for dl, m in zip(detlists, data_m)]
+                if len(acc) >= drain_chunk:
+                    drain()
+            drain()
         else:
-            pending = None  # (dets_device, cand_count, data_x, data_m)
+            pending = None  # (dets_device, data_x, data_m)
             for data_x, data_m in batches:
                 xj = jnp.asarray(data_x)                       # async upload
                 outs = fn(model.inference_params(), model.state, xj)  # async
                 if pending is not None:
-                    detlists = detlists_for(*pending[:3])
+                    detlists = detlists_for(*pending[:2])
                     results += [{"detections": dl, "meta": m}
-                                for dl, m in zip(detlists, pending[3])]
-                pending = (outs[0], outs[2] if guard else None,
-                           data_x if guard else None, data_m)
+                                for dl, m in zip(detlists, pending[2])]
+                pending = (outs[0], data_x if guard else None, data_m)
                 n_images += len(data_m)
             if pending is not None:
-                detlists = detlists_for(*pending[:3])
+                detlists = detlists_for(*pending[:2])
                 results += [{"detections": dl, "meta": m}
-                            for dl, m in zip(detlists, pending[3])]
+                            for dl, m in zip(detlists, pending[2])]
 
         dt = timer.current()
         if n_images:

@@ -120,8 +120,10 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
         cap, max_count = model.calibrate_cluster_cap(detect_layer, xs,
                                                      policy=cap_policy)
         maxima = model.cluster_cap_stats["batch_maxima"]
-        # same rule the serving guards apply (count >= cap -> escalate)
-        sat = [m >= cap for m in maxima]
+        # same rule the serving guards apply (count >= cap -> escalate,
+        # and NO escalation at the reference cap — the guard is
+        # cluster_cap < ref_cap, so a ref-cap row never double-runs)
+        sat = [cap < ref_cap and m >= cap for m in maxima]
         calibrated = {"cluster_cap": cap, "cand_max": max_count,
                       "cap_policy": cap_policy,
                       "escalated_batches": "%d/%d" % (sum(sat), len(sat))}

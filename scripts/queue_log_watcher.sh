@@ -25,7 +25,7 @@ queue_alive() {
     # cmdline, never pkill-style pattern kills — read-only check)
     for p in /proc/[0-9]*/cmdline; do
         tr '\0' ' ' < "$p" 2>/dev/null | grep -qE \
-            'scripts/(train_flagship_synth|x768_eval|probe_cluster_cap|bench_train|bench_variants|queue_r)' \
+            'scripts/(train_flagship_synth|x768_eval|probe_|bench_train|bench_variants|occlusion_study|profile_wide|ab_cap_policy|queue_r)' \
             && return 0
     done
     return 1

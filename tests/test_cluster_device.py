@@ -22,6 +22,33 @@ def random_candidates(rng, batch, n, count=None, scale=0.25):
     return bbox, pr, numpy.asarray(count, numpy.int32)
 
 
+def _perturb_corner_head(model, seed=11):
+    """Re-init the corner head to a mid-density operating point: the fresh
+    head inits to "everything is background" (bias 5.0, denet_corner.py);
+    bias offset 3.0 measured ~13 candidates vs the toy ref cap 160."""
+    import jax
+    det = model.layers[-1]
+    ci = det.sparse_layer.corner_layer.layer_index
+    prng = numpy.random.RandomState(seed)
+
+    def perturb(a):
+        a = numpy.asarray(a)
+        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
+        return out + 3.0 if a.ndim == 1 else out
+
+    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+
+
+def _assert_same_detections(a, b):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert len(ra["detections"]) == len(rb["detections"])
+        for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
+                                              rb["detections"]):
+            assert ca == cb and abs(pa - pb) < 1e-6
+            numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+
+
 def assert_cluster_parity(bbox, pr, count, threshold, input_num, output_num):
     hb, hp, hc = native.cluster_samples(bbox, pr, count, threshold,
                                         input_num, output_num)
@@ -284,23 +311,9 @@ def test_calibrated_cap_lossless_and_escalation():
     reference-cap detections (losslessness the serving default relies on);
     a saturating cap escalates inside get_detections and STILL returns the
     reference result — results never depend on the cap choice."""
-    import jax
-
     model = build_v2_model()
     det = model.layers[-1]
-    # the fresh corner head inits to "everything is background" (bias 5.0,
-    # denet_corner.py) — re-init it to a mid-density operating point so the
-    # scene has candidates but fewer than the reference cap (bias offset
-    # 3.0 measured: ~13 candidates vs ref cap 160)
-    ci = det.sparse_layer.corner_layer.layer_index
-    prng = numpy.random.RandomState(11)
-
-    def perturb(a):
-        a = numpy.asarray(a)
-        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
-        return out + 3.0 if a.ndim == 1 else out
-
-    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+    _perturb_corner_head(model)
 
     rng = numpy.random.RandomState(5)
     x = rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
@@ -319,14 +332,7 @@ def test_calibrated_cap_lossless_and_escalation():
     assert cap < ref_cap, "cap must be non-trivially below the reference"
     assert model.cluster_cap == cap
 
-    def assert_same(a, b):
-        assert len(a) == len(b)
-        for ra, rb in zip(a, b):
-            assert len(ra["detections"]) == len(rb["detections"])
-            for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
-                                                  rb["detections"]):
-                assert ca == cb and abs(pa - pb) < 1e-6
-                numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+    assert_same = _assert_same_detections
 
     # calibrated default (no explicit clusterCap) == reference cap result
     auto = det.get_detections(model, x, metas, dict(base))
@@ -353,19 +359,9 @@ def test_cap_calib_serving_knob():
     """--params capCalib=N: the serving entries self-calibrate + install
     the cluster cap from the first N batches (opt policy by default) and
     return reference-cap-exact detections."""
-    import jax
-
     model = build_v2_model()
     det = model.layers[-1]
-    ci = det.sparse_layer.corner_layer.layer_index
-    prng = numpy.random.RandomState(11)
-
-    def perturb(a):
-        a = numpy.asarray(a)
-        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
-        return out + 3.0 if a.ndim == 1 else out
-
-    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+    _perturb_corner_head(model)
 
     rng = numpy.random.RandomState(5)
     xs = [rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
@@ -380,14 +376,7 @@ def test_cap_calib_serving_knob():
                                dict(base, clusterCap=ref_cap)) for x in xs]
     assert sum(len(r["detections"]) for rs in refs for r in rs) > 0
 
-    def assert_same(a, b):
-        assert len(a) == len(b)
-        for ra, rb in zip(a, b):
-            assert len(ra["detections"]) == len(rb["detections"])
-            for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
-                                                  rb["detections"]):
-                assert ca == cb and abs(pa - pb) < 1e-6
-                numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+    assert_same = _assert_same_detections
 
     # per-batch serving entry: calibrates over the first 2 batches (the
     # second batch completes the window and installs the cap)
@@ -404,14 +393,7 @@ def test_cap_calib_serving_knob():
 
     # batched serving entry on a fresh model state (capPolicy=max variant)
     model2 = build_v2_model()
-    prng2 = numpy.random.RandomState(11)
-
-    def perturb2(a):
-        a = numpy.asarray(a)
-        out = prng2.normal(0, 1.0, a.shape).astype(numpy.float32)
-        return out + 3.0 if a.ndim == 1 else out
-
-    model2.params[ci] = jax.tree_util.tree_map(perturb2, model2.params[ci])
+    _perturb_corner_head(model2)
     det2 = model2.layers[-1]
     batched = det2.get_detections_batched(
         model2, iter([(x, metas) for x in xs]),
@@ -458,19 +440,9 @@ def test_batched_path_escalates_saturated_cap():
     return reference-cap-exact results under a saturating clusterCap: the
     escalation happens at conversion/drain time, outside the download-free
     dispatch loop."""
-    import jax
-
     model = build_v2_model()
     det = model.layers[-1]
-    ci = det.sparse_layer.corner_layer.layer_index
-    prng = numpy.random.RandomState(11)
-
-    def perturb(a):
-        a = numpy.asarray(a)
-        out = prng.normal(0, 1.0, a.shape).astype(numpy.float32)
-        return out + 3.0 if a.ndim == 1 else out
-
-    model.params[ci] = jax.tree_util.tree_map(perturb, model.params[ci])
+    _perturb_corner_head(model)
 
     rng = numpy.random.RandomState(5)
     batches = []
@@ -490,13 +462,7 @@ def test_batched_path_escalates_saturated_cap():
             model, iter(batches), dict(base, clusterCap=1),
             defer_downloads=defer)
         assert sum(len(r["detections"]) for r in ref) > 0
-        assert len(ref) == len(sat)
-        for ra, rb in zip(ref, sat):
-            assert len(ra["detections"]) == len(rb["detections"])
-            for (pa, ca, ba), (pb, cb, bb) in zip(ra["detections"],
-                                                  rb["detections"]):
-                assert ca == cb and abs(pa - pb) < 1e-6
-                numpy.testing.assert_allclose(ba, bb, atol=1e-6)
+        _assert_same_detections(ref, sat)
 
 def test_cluster_distinct2_knob_default_and_env():
     """cluster_distinct2 defaults off (reference-faithful quota) and the

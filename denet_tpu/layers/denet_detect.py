@@ -795,9 +795,11 @@ class DeNetDetectLayer(Layer):
             # bound retention: with the guard on, each deferred batch holds
             # its input alive for a possible escalation re-run — on device
             # when staged (HBM!), host RAM otherwise — so drain every
-            # drain_chunk batches instead of once at the end.  Without the
-            # guard only the small (B, top_n, 6) dets are retained.
-            drain_chunk = 64 if guard else (1 << 30)
+            # drainChunk batches (default 64) instead of once at the end.
+            # Without the guard only the small (B, top_n, 6) dets are
+            # retained.
+            drain_chunk = (int(params.get("drainChunk", 64)) if guard
+                           else (1 << 30))
             acc = []
 
             def drain():

@@ -464,6 +464,40 @@ def test_batched_path_escalates_saturated_cap():
         assert sum(len(r["detections"]) for r in ref) > 0
         _assert_same_detections(ref, sat)
 
+
+def test_defer_drain_chunking_preserves_order_and_results():
+    """The deferred path drains every drainChunk batches to bound input
+    retention (each guarded batch keeps its input alive for a possible
+    escalation).  Crossing multiple chunk boundaries — with a saturating
+    cap so every batch escalates at drain time — must preserve batch order
+    and reference-cap-exact results."""
+    model = build_v2_model()
+    det = model.layers[-1]
+    _perturb_corner_head(model)
+
+    rng = numpy.random.RandomState(5)
+    batches = []
+    for b in range(5):
+        x = rng.uniform(0, 1, (2, 3, 16, 16)).astype(numpy.float32)
+        metas = [{"bbox": [(0.1, 0.1, 0.5, 0.6)], "class": [(b + i) % 3],
+                  "batch": b, "slot": i} for i in range(2)]
+        batches.append((x, metas))
+    base = {"prThreshold": 0.0001, "nmsThreshold": 0.5}
+    sn = det.sparse_layer.sample_num
+
+    ref = det.get_detections_batched(
+        model, iter(batches), dict(base, clusterCap=10 * sn * sn),
+        defer_downloads=True)
+    got = det.get_detections_batched(
+        model, iter(batches), dict(base, clusterCap=1, drainChunk=2),
+        defer_downloads=True)
+    assert sum(len(r["detections"]) for r in ref) > 0
+    _assert_same_detections(ref, got)
+    # order: metas flow through drains in dispatch order
+    assert [(r["meta"]["batch"], r["meta"]["slot"]) for r in got] == \
+        [(b, i) for b in range(5) for i in range(2)]
+
+
 def test_cluster_distinct2_knob_default_and_env():
     """cluster_distinct2 defaults off (reference-faithful quota) and the
     env knob flips it for training runs (queue_r5b wide34_v2d)."""

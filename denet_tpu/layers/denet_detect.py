@@ -505,6 +505,11 @@ class DeNetDetectLayer(Layer):
                     "capCalib: serving cluster cap %d installed (policy %s, "
                     "observed max %d over %d batches)" % (
                         cap, policy, mx, calib_n))
+        elif getattr(self, "_cap_calib", None):
+            # a cap got installed by another path (batched entry, explicit
+            # calibrate_cluster_cap) mid-window: drop the accumulated image
+            # copies instead of retaining them for the life of the layer
+            self._cap_calib = []
         # clusterCap bounds the candidates entering device corner clustering
         # (v2 models only; default in build_full_detect_fn).  PERF.md: the
         # N^2 clustering cost scales quadratically with the cap while any
@@ -515,10 +520,17 @@ class DeNetDetectLayer(Layer):
         cluster_cap = int(params.get("clusterCap",
                                      getattr(model, "cluster_cap", None)
                                      or 6144))
+        # the sparse layer's clustering attrs are traced into the cached fn
+        # at build time, so they belong in the key: occlusion_study-style
+        # surgery (set sparse.nms_threshold = 1.0 post-build) must not be
+        # served by a stale clustered fn
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
                use_int8, cluster_cap,
-               getattr(self.sparse_layer, "cluster_distinct2", False))
+               getattr(self.sparse_layer, "cluster_distinct2", False),
+               self.sparse_layer.nms_threshold,
+               self.sparse_layer.corner_threshold,
+               self.sparse_layer.local_max)
         if use_int8:
             # int8 PTQ serving (serve/quant.py): self-calibrates activation
             # scales on the first calibBatches serving batches (default 1),
@@ -728,7 +740,10 @@ class DeNetDetectLayer(Layer):
         key = (pr_threshold, nms_threshold, params.get("cornerK", 256),
                params.get("topM", 128), params.get("topN", 100), use_soft_nms,
                False, cluster_cap,
-               getattr(self.sparse_layer, "cluster_distinct2", False))
+               getattr(self.sparse_layer, "cluster_distinct2", False),
+               self.sparse_layer.nms_threshold,
+               self.sparse_layer.corner_threshold,
+               self.sparse_layer.local_max)
         if key not in self._full_fn:
             logging.info("Building fused device detection function")
             self._full_fn[key] = model.build_full_detect_fn(
@@ -742,7 +757,7 @@ class DeNetDetectLayer(Layer):
             # same key layout the device path uses (clusterCap=ref_cap,
             # guard off) so later calls — batched or single — never pay the
             # multi-minute remote recompile again
-            esc_key = key[:7] + (ref_cap, key[8])
+            esc_key = key[:7] + (ref_cap,) + key[8:]
             if esc_key not in self._full_fn:
                 logging.info(
                     "cluster cap %d saturated; building reference-cap "

@@ -15,6 +15,8 @@ driver's end-of-round ``bench.py`` must see an idle chip, so:
 Purely advisory (no kernel locking): both sides poll a timestamped file,
 which is all the durability /tmp offers on this machine anyway.
 """
+import glob as _glob
+import itertools
 import os
 import threading
 import time
@@ -28,13 +30,24 @@ BUSY_STALE_S = 2 * 60
 BUSY_MAX_WAIT_S = 10 * 60
 
 
+_marker_seq = itertools.count()
+
+
 class _marker:
     """Touch a marker file for a scope, mtime-refreshed by a daemon thread
     (so holders longer than the staleness window are not misread as
-    crashed), removed on exit."""
+    crashed), removed on exit.
+
+    Each holder writes its OWN file (``<path>.<pid>.<seq>``) so overlapping
+    holders — two queue blocks, or an accidental concurrent bench — cannot
+    clobber each other's marker on entry or delete it on exit (a shared
+    file let holder A's exit void holder B's still-active marker, reopening
+    exactly the race the arbitration closes).  Readers treat the youngest
+    live file matching ``<path>*`` as THE marker (``lock_age``)."""
 
     def __init__(self, path, keepalive_s=KEEPALIVE_S):
-        self.path = path
+        self.base = path
+        self.path = "%s.%d.%d" % (path, os.getpid(), next(_marker_seq))
         self.keepalive_s = keepalive_s
         self._stop = threading.Event()
         self._thread = None
@@ -116,8 +129,8 @@ class bench_lock(_marker):
         return super().__enter__()
 
 
-def lock_age(path=LOCK_PATH):
-    """Age of the lock in seconds, or None if absent or its holder is dead.
+def _one_lock_age(path):
+    """Age of one marker file, or None if absent or its holder is dead.
 
     Lock/marker files record "pid time"; a killed holder (timeout sends
     SIGKILL after the grace period — __exit__ never runs) leaves the file
@@ -135,10 +148,25 @@ def lock_age(path=LOCK_PATH):
     try:
         os.kill(pid, 0)                    # signal 0: existence check
     except ProcessLookupError:
+        try:
+            os.remove(path)                # dead holder: reap the file
+        except OSError:
+            pass
         return None                        # holder is dead: lock is void
     except OSError:
         pass                               # e.g. EPERM: alive, not ours
     return age
+
+
+def lock_age(path=LOCK_PATH):
+    """Age of the YOUNGEST live marker for ``path`` in seconds, or None if
+    no live holder exists.  Holders write per-holder files ``<path>.*``
+    (see _marker); the legacy shared-file name is also honored so stale
+    files from older runs keep working."""
+    ages = [a for a in (_one_lock_age(p)
+                        for p in [path] + sorted(_glob.glob(path + ".*")))
+            if a is not None]
+    return min(ages) if ages else None
 
 
 def yield_to_bench(path=LOCK_PATH, stale_s=STALE_S, max_wait_s=MAX_WAIT_S,

@@ -3,7 +3,7 @@
 # evidence survives machine resets (the round-2/3 resets wiped /tmp AND the
 # gitignored models/variants checkpoints — logs are the only durable record
 # of the eval numbers).  Run detached:
-#   setsid bash scripts/queue_log_watcher.sh QUEUE_LOG QUEUE_PID_HINT \
+#   setsid bash scripts/queue_log_watcher.sh QUEUE_LOG \
 #       > /tmp/log_watcher.log 2>&1 &
 #
 # Exits when the queue log contains the DONE marker OR when no queue/train

@@ -75,8 +75,13 @@ def main(argv=None):
         state["stdinv"] = jnp.asarray(stdinv)
     model.invalidate_cached_params()
     model.ensure_on_device()
-    print("recalibrated %d BN layers at %d" % (len(bn_layers), args.size),
-          flush=True)
+    # persist the recalibrated stats: --out was written by the surgery step
+    # BEFORE recalibration, so without this save the shipped x768 checkpoint
+    # would carry the stale 512-res BN stats (the exact failure the precise-
+    # BN fix closed) while only the in-memory evals below were correct
+    model_mod.save_to_file(model, args.out)
+    print("recalibrated %d BN layers at %d (saved to %s)" % (
+        len(bn_layers), args.size, args.out), flush=True)
 
     # 3. held-out mAP at 768 (hard distribution, seed 1234)
     detect_layer = model.layers[-1]

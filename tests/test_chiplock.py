@@ -90,3 +90,29 @@ def test_stale_lock_ignored(tmp_path):
     old = time.time() - 3600
     os.utime(path, (old, old))
     assert chiplock.yield_to_bench(path, stale_s=60, poll_s=0.05) == 0.0
+
+
+def test_overlapping_holders_do_not_void_each_other(tmp_path):
+    """Two holders of the same marker (e.g. two queue blocks overlapping,
+    or an accidental concurrent bench) write per-holder files: one exiting
+    must not delete or clobber the other's still-active marker (a shared
+    file reopened the bench-vs-queue race the arbitration closes)."""
+    path = str(tmp_path / "queue.busy")
+    a = chiplock.queue_busy(path)
+    b = chiplock.queue_busy(path)
+    a.__enter__()
+    b.__enter__()
+    assert chiplock.lock_age(path) is not None
+    a.__exit__(None, None, None)
+    # b still holds: the marker must remain visible
+    assert chiplock.lock_age(path) is not None
+    b.__exit__(None, None, None)
+    assert chiplock.lock_age(path) is None
+
+
+def test_dead_per_holder_files_are_reaped(tmp_path):
+    path = str(tmp_path / "queue.busy")
+    with open(path + ".999999999.0", "w") as f:
+        f.write("999999999 0.0")
+    assert chiplock.lock_age(path) is None
+    assert not os.path.exists(path + ".999999999.0")

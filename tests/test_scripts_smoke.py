@@ -45,7 +45,7 @@ def _no_chiplock():
 
 
 @pytest.fixture(scope="module")
-def tiny_ckpt(tmp_path_factory, capfd_unsupported=None):
+def tiny_ckpt(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("smoke") / "tiny_v2.mdl.gz")
     import train_flagship_synth
     rc = train_flagship_synth.main([

@@ -97,8 +97,15 @@ def main():
     # run: the relay serves ONE chip, and concurrent timed windows skew (or
     # stall) both sides.  Queue scripts poll yield_to_bench() between step
     # blocks and pause while this lock is fresh.
-    from denet_tpu.utils.chiplock import bench_lock
-    with bench_lock(log=lambda m: print(m, flush=True)):
+    from denet_tpu.utils import chiplock
+    with chiplock.bench_lock(log=lambda m: print(m, flush=True)):
+        # the bench does NOT take the chip lease (a paused-but-alive lease
+        # holder would deadlock it); log any live holder so the record shows
+        # who was attached — holders pause at their next yield point
+        if chiplock.lock_age(chiplock.LEASE_PATH) is not None:
+            print("bench: chip lease held by live pid %s (holder will pause "
+                  "at its next yield point)"
+                  % chiplock.chip_lease()._holder_pid(), flush=True)
         return _main()
 
 

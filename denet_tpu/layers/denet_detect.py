@@ -493,7 +493,11 @@ class DeNetDetectLayer(Layer):
         if (calib_n > 0 and "clusterCap" not in params
                 and self.sparse_layer.nms_threshold < 1.0
                 and getattr(model, "cluster_cap", None) is None):
-            self._cap_calib = getattr(self, "_cap_calib", [])
+            # the accumulator holds at most calib_n-1 host batch copies; if
+            # the stream ends before the window completes they stay on the
+            # layer until another path installs a cap (cleared below) — an
+            # accepted cost of the lazy-calibration design (ADVICE r4)
+            self._cap_calib = getattr(self, "_cap_calib", [])[-(calib_n - 1):]
             self._cap_calib.append(numpy.asarray(data_x))
             if len(self._cap_calib) >= calib_n:
                 policy = str(params.get("capPolicy", "opt"))
@@ -531,6 +535,11 @@ class DeNetDetectLayer(Layer):
                self.sparse_layer.nms_threshold,
                self.sparse_layer.corner_threshold,
                self.sparse_layer.local_max)
+        # always bound (ADVICE r4): the int8 branch has no saturation guard
+        # (the quant fn is built uncapped), and the escalation check below
+        # must not rely on boolean short-circuit order for its NameError
+        # safety
+        guard = False
         if use_int8:
             # int8 PTQ serving (serve/quant.py): self-calibrates activation
             # scales on the first calibBatches serving batches (default 1),

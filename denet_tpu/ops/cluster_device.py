@@ -283,7 +283,17 @@ def auto_cap_opt(batch_maxima, sample_count, batch, t_prefix_s, margin=1.25):
     max 2283 caps at 2304 instead of 4096, a ~3x smaller N^2 term), plus
     the reference cap itself (where escalation is impossible, so f is
     forced to 0)."""
-    del margin   # see docstring: escalation supersedes drift headroom
+    if margin != 1.25:
+        # accepted for signature parity with auto_cap but deliberately
+        # unused (escalation supersedes drift headroom) — a caller passing
+        # a non-default margin expects headroom it will not get, so say so
+        # instead of silently discarding it (ADVICE r4)
+        import warnings
+        warnings.warn("auto_cap_opt ignores margin=%r: the opt policy "
+                      "relies on saturation escalation, not headroom; use "
+                      "policy='max' for margin-scaled caps" % (margin,),
+                      stacklevel=2)
+    del margin
     ref_cap = 10 * sample_count
     maxima = sorted(int(m) for m in batch_maxima) or [0]
     a_est = _CAP_FLOOR_OVER_PREFIX * float(t_prefix_s)

@@ -18,6 +18,14 @@ import sys
 
 
 def main(argv=None):
+    from denet_tpu.utils import chiplock
+    # single-writer relay guard (VERDICT r4 item 6)
+    with chiplock.chip_lease("ab_cap_policy",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--models-dir", default="models/variants")
     p.add_argument("--only", default="denet34_wide_v2")

@@ -28,6 +28,14 @@ import numpy
 
 
 def main(argv=None):
+    from denet_tpu.utils import chiplock
+    # single-writer relay guard (VERDICT r4 item 6)
+    with chiplock.chip_lease("bench_train",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=512)

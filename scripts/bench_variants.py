@@ -130,6 +130,22 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
         print("%s: calibrated cluster cap %d policy=%s (observed max %d, "
               "%d/%d batches escalate)" % (tag, cap, cap_policy, max_count,
                                            sum(sat), len(sat)), flush=True)
+    elif (cluster_cap is not None and v2
+            and detect_layer.sparse_layer.nms_threshold < 1.0):
+        # explicit --cluster-cap rows stay serving-honest (ADVICE r4):
+        # measure per-batch candidate maxima with the same counting jit and
+        # apply the escalation emulation real serving would — an explicit
+        # cap must not skip the re-runs saturated batches cost
+        _, max_count = model.calibrate_cluster_cap(detect_layer, xs,
+                                                   policy=cap_policy)
+        maxima = model.cluster_cap_stats["batch_maxima"]
+        sat = [cluster_cap < ref_cap and m >= cluster_cap for m in maxima]
+        calibrated = {"cluster_cap": cluster_cap, "cand_max": max_count,
+                      "cap_policy": "explicit",
+                      "escalated_batches": "%d/%d" % (sum(sat), len(sat))}
+        print("%s: explicit cluster cap %d (observed max %d, %d/%d batches "
+              "escalate)" % (tag, cluster_cap, max_count, sum(sat),
+                             len(sat)), flush=True)
     kw = {} if cluster_cap is None else {"cluster_cap": cluster_cap}
     fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
                                     corner_k=256, top_m=128, top_n=100, **kw)
@@ -180,6 +196,14 @@ def run_variant(tag, family, variant, v2, size, sn_override, baseline_hz,
 
 
 def main(argv=None):
+    from denet_tpu.utils import chiplock
+    # single-writer relay guard (VERDICT r4 item 6)
+    with chiplock.chip_lease("bench_variants",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/variant_rates.jsonl")
     p.add_argument("--only", default=None,

@@ -69,6 +69,14 @@ def run_eval(model, detections, size, tag=""):
 
 
 def main(argv=None):
+    from denet_tpu.utils import chiplock
+    # single-writer relay guard (VERDICT r4 item 6)
+    with chiplock.chip_lease("eval_flagship_synth",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, default=12)
     p.add_argument("--model", default="models/denet34_skip_synth512.mdl.gz")

@@ -34,6 +34,14 @@ import numpy
 
 
 def main(argv=None):
+    from denet_tpu.utils import chiplock
+    # single-writer relay guard (VERDICT r4 item 6)
+    with chiplock.chip_lease("occlusion_study",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="models/variants/denet34_wide_v2.mdl.gz")
     p.add_argument("--batches", type=int, default=12)

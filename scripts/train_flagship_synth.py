@@ -39,6 +39,69 @@ from denet_tpu.utils import chiplock  # noqa: E402
 
 
 def main(argv=None):
+    # single-writer relay guard: queue behind any live TPU client, never
+    # attach a second trainer to the relay (VERDICT r4 item 6)
+    with chiplock.chip_lease("train_flagship_synth",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _save_ckpt(model_mod, model, trainer, np_state, it, out):
+    """Atomic mid-run checkpoint: model to `out`, trainer/rng state to
+    `out`.resume.npz — both written to temp files then os.replace'd so a
+    kill during the save never leaves a truncated checkpoint.  `np_state`
+    is the host data-rng state captured at the point where exactly `it`
+    batches have been drawn (the pipelined loop draws one batch ahead, so
+    the caller snapshots at iteration top, not at save time)."""
+    import jax
+    tmp = out + ".tmp"
+    model_mod.save_to_file(model, tmp)
+    _os.replace(tmp, out)
+    payload = {"it": numpy.int64(it),
+               # model.iteration feeds the solver's iteration-0 gating and
+               # adam bias correction via the scan path's packed hypers; it
+               # is NOT serialized in the reference JSON v3 format (the
+               # reference passes `it` per train_step call), so the sidecar
+               # carries it
+               "model_it": numpy.int64(model.iteration),
+               "trainer_rng": numpy.asarray(trainer.rng),
+               "np_keys": numpy.asarray(np_state[1]),
+               "np_pos": numpy.int64(np_state[2]),
+               "np_has_gauss": numpy.int64(np_state[3]),
+               "np_cached": numpy.float64(np_state[4])}
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(trainer.slots)):
+        payload["slot_%05d" % i] = numpy.asarray(leaf)
+    tmp2 = out + ".resume.tmp"
+    with open(tmp2, "wb") as f:
+        numpy.savez(f, **payload)
+    _os.replace(tmp2, out + ".resume.npz")
+    print("checkpointed step %d -> %s (+.resume.npz)" % (it, out),
+          flush=True)
+
+
+def _load_ckpt(trainer, rng, out):
+    """Restore trainer slots / device rng chain / host data-rng from the
+    sidecar; returns the step to resume at.  Slot leaves are re-wrapped
+    with a freshly-initialized trainer's treedef (same model + solver =>
+    same structure), so no pickled pytrees are needed."""
+    import jax
+    import jax.numpy as jnp
+    with numpy.load(out + ".resume.npz") as z:
+        leaves, treedef = jax.tree_util.tree_flatten(trainer.slots)
+        saved = [z["slot_%05d" % i] for i in range(len(leaves))]
+        assert all(s.shape == numpy.shape(l)
+                   for s, l in zip(saved, leaves)), \
+            "resume sidecar slot shapes do not match this model/solver"
+        trainer.slots = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(s) for s in saved])
+        trainer.rng = jnp.asarray(z["trainer_rng"])
+        trainer.model.iteration = int(z["model_it"])
+        rng.set_state(("MT19937", z["np_keys"], int(z["np_pos"]),
+                       int(z["np_has_gauss"]), float(z["np_cached"])))
+        return int(z["it"])
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=12000)
     p.add_argument("--batch", type=int, default=8)
@@ -114,6 +177,25 @@ def main(argv=None):
                         "ad-hoc architectures), e.g. "
                         "'C[8,3] BN A DNC[16] DNS[2,4,0.01,0.1,2,0.7] "
                         "C[16,1] BN A DND.JB[0.5,1.0,1.0]'")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="mid-run checkpointing (VERDICT r4 item 5): every N "
+                        "steps atomically save the model to --out plus a "
+                        "sidecar <out>.resume.npz (step counter, solver "
+                        "slots, device rng chain, host data-rng state) so a "
+                        "kill -9 costs at most one save interval; mirrors "
+                        "the reference's timed intra-epoch saves "
+                        "(train_multi.py --model-save-dt)")
+    p.add_argument("--stop-after", type=int, default=0,
+                   help="exit cleanly right after the --save-every "
+                        "checkpoint at (or past) this step — a simulated "
+                        "crash for resume tests, and a way to split a long "
+                        "run across relay sessions")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a --save-every run: load --out + its "
+                        ".resume.npz sidecar and resume at the saved step "
+                        "with the exact rng state — the resumed trajectory "
+                        "is bit-identical to an uninterrupted one (all "
+                        "--init-* transplants are skipped)")
     p.add_argument("--eval-batches", type=int, default=0,
                    help="run the held-out VOC+COCO eval (same process, seed "
                         "1234) on this many batches after training; with "
@@ -135,7 +217,12 @@ def main(argv=None):
 
     logging.init(level="info")
 
-    if args.init_model:
+    if args.resume:
+        assert _os.path.exists(args.out + ".resume.npz"), \
+            "--resume: no %s.resume.npz sidecar (was the run started " \
+            "with --save-every?)" % args.out
+        model = model_mod.load_from_file(args.out, batch_size=args.batch)
+    elif args.init_model:
         model = model_mod.load_from_file(args.init_model,
                                          batch_size=args.batch)
     else:
@@ -161,7 +248,7 @@ def main(argv=None):
         model = _build_detect_model(args.batch, args.size,
                                     class_num=args.class_num, variant="skip",
                                     desc_override=desc)
-    if args.init_trunk:
+    if args.init_trunk and not args.resume:
         # transplant everything except the (possibly re-shaped) DND head —
         # the feature-matrix variants share the flagship trunk + corner head
         src = model_mod.load_from_file(args.init_trunk,
@@ -202,7 +289,7 @@ def main(argv=None):
 
         return bearing, sig
 
-    if args.init_suffix:
+    if args.init_suffix and not args.resume:
         # warm-start the head across families: walk both param-bearing layer
         # sequences BACKWARD from the output and copy while (type, shape)
         # match — skip34 -> skip101 transplants DND + the four 1x1 head
@@ -221,7 +308,7 @@ def main(argv=None):
               "(target indices %s)" % (len(copied), args.init_suffix,
                                        sorted(copied)), flush=True)
 
-    if args.init_prefix:
+    if args.init_prefix and not args.resume:
         # warm-start across DIFFERENT descs: walk both param-bearing layer
         # sequences in order and copy while (type, param/state pytree shape)
         # match — e.g. skip flagship -> wide trunk shares the stem, all four
@@ -311,6 +398,16 @@ def main(argv=None):
         return args.lr * (1.0 if frac < 0.7 else
                           0.1 if frac < 0.9 else 0.01)
 
+    it0 = 0
+    if args.resume:
+        assert pool is None, "--resume supports --data-mode device only " \
+            "(the pool is staged from the data rng before restore)"
+        it0 = _load_ckpt(trainer, rng, args.out)
+        print("resumed %s at step %d" % (args.out, it0), flush=True)
+    if args.save_every:
+        assert pool is None, \
+            "--save-every supports --data-mode device only"
+
     # cost scalars read in blocks (one stacked transfer): per-step reads
     # are relay round trips that serialize the loop (PERF.md round 2)
     K = trainer.cost_read_interval
@@ -318,8 +415,9 @@ def main(argv=None):
     if args.scan > 0:
         assert pool is None, "--scan requires --data-mode device"
         sk = args.scan
-        prev_totals, prev_it = None, 0
-        it = 0
+        prev_totals, prev_it = None, it0
+        last_save = it0
+        it = it0
         while it < args.steps:
             chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
             n = min(sk, args.steps - it)
@@ -343,6 +441,23 @@ def main(argv=None):
                         args.batch * prev_it / dt), flush=True)
             prev_totals, prev_it = totals, it
             it += n
+            if (args.save_every and it < args.steps
+                    and it - last_save >= args.save_every):
+                # gate the CURRENT chunk's costs before persisting params
+                # that include its updates (the normal read trails a chunk)
+                vals = numpy.asarray(totals)
+                if not numpy.isfinite(vals).all():
+                    bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
+                    print("ABORT: non-finite cost at step %d" % (
+                        it - len(vals) + bad))
+                    return 1
+                _save_ckpt(model_mod, model, trainer, rng.get_state(), it,
+                           args.out)
+                last_save = it
+                if args.stop_after and last_save >= args.stop_after:
+                    print("stopping after checkpoint at step %d"
+                          % last_save, flush=True)
+                    return 0
         vals = numpy.asarray(prev_totals)
         if not numpy.isfinite(vals).all():
             bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
@@ -350,18 +465,30 @@ def main(argv=None):
             return 1
         print("final cost %.4f" % float(vals[-1]), flush=True)
         print("total %.1fs" % (time.time() - t0), flush=True)
-        model_mod.save_to_file(model, args.out)
+        if args.save_every:
+            _save_ckpt(model_mod, model, trainer, rng.get_state(),
+                       args.steps, args.out)
+        else:
+            model_mod.save_to_file(model, args.out)
         print("saved %s" % args.out, flush=True)
         if args.eval_batches > 0:
             _run_final_eval(args, model)
         return 0
     pending = []
+    last_save = it0
+    # host-rng snapshot for mid-run saves: the loop draws ONE BATCH AHEAD
+    # (gen_batch inside iteration `it` produces step it+1's data), so the
+    # state to persist for a resume at it+1 is the one at the TOP of
+    # iteration `it` — after draws 0..it, before the lookahead draw
+    np_snap = rng.get_state() if args.save_every else None
     if pool is None:
         metas, geo = gen_batch()
         prep = trainer.prepare_targets(None, metas)
     else:
         prep = trainer.prepare_targets(*pool[0])
-    for it in range(args.steps):
+    for it in range(it0, args.steps):
+        if args.save_every:
+            np_snap = rng.get_state()
         if pool is None:
             x_dev = geo      # geometry tuple; rendered inside the step jit
         else:
@@ -376,13 +503,23 @@ def main(argv=None):
             nxt = pool[(it + 1) % args.pool]
             prep = trainer.prepare_targets(nxt[0], nxt[1])
         pending.append(fut[0])
-        if len(pending) >= K:
+        save_due = (args.save_every and it + 1 < args.steps
+                    and it + 1 - last_save >= args.save_every)
+        if len(pending) >= K or save_due:
             chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
             vals = numpy.asarray(jnp.stack(pending))
             pending = []
             if not numpy.isfinite(vals).all():
                 print("ABORT: non-finite cost at step %d" % it)
                 return 1
+            if save_due:
+                _save_ckpt(model_mod, model, trainer, np_snap, it + 1,
+                           args.out)
+                last_save = it + 1
+                if args.stop_after and last_save >= args.stop_after:
+                    print("stopping after checkpoint at step %d"
+                          % last_save, flush=True)
+                    return 0
             if it % 128 < K:
                 dt = time.time() - t0
                 print("step %5d  cost %.4f  (%.1f img/s)" % (
@@ -399,7 +536,13 @@ def main(argv=None):
         print("final cost %.4f" % float(vals[-1]), flush=True)
     print("total %.1fs" % (time.time() - t0), flush=True)
 
-    model_mod.save_to_file(model, args.out)
+    if args.save_every:
+        # final sidecar enables extending the run later (--resume with a
+        # larger --steps); np_snap (top of the last iteration) holds the
+        # state after draws 0..steps-1, i.e. before step `steps`'s data
+        _save_ckpt(model_mod, model, trainer, np_snap, args.steps, args.out)
+    else:
+        model_mod.save_to_file(model, args.out)
     print("saved %s" % args.out, flush=True)
 
     if args.eval_batches > 0:
@@ -420,10 +563,13 @@ def _run_final_eval(args, model):
     if args.eval_soft_nms:
         passes.append(("soft-NMS", 1))
     for tag, soft in passes:
-        chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
-        with chiplock.queue_busy():
-            dets = []
-            for xs, metas in batches:
+        # yield BETWEEN eval batches, and mark only one batch at a time as
+        # uninterruptible — an arriving bench waits <= one batch, not the
+        # whole pass (VERDICT r4 item 1a)
+        dets = []
+        for xs, metas in batches:
+            chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+            with chiplock.queue_busy():
                 dets += detect_layer.get_detections(
                     model, xs, metas, {"prThreshold": 0.05,
                                        "nmsThreshold": 0.5,

@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from denet_tpu.utils import chiplock
+    # single-writer relay guard (VERDICT r4 item 6): the audit attaches to
+    # the device (param upload + inference_params) even though the compiled
+    # fn is never executed
+    with chiplock.chip_lease("analyze_hlo",
+                             log=lambda m: print(m, flush=True)):
+        return _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default=None,
                    help="audit a trained checkpoint instead of the "

@@ -165,7 +165,13 @@ class ConvLayer(Layer):
         if x2.dtype == jnp.uint8:
             # deferred prep_input decode (see Model.prep_input): transpose
             # ran on 1-byte elements; u8 -> float is exact, so this is
-            # bitwise-identical to decode-then-transpose
+            # bitwise-identical to decode-then-transpose.  XLA sometimes
+            # hoists the convert+multiply ABOVE the transpose (round-5 HLO
+            # audit: the S2D block transpose ran as a bf16 copy, 2x the
+            # bytes); the optimization barrier pins the transpose to u8.
+            import os
+            if os.environ.get("DENET_TPU_S2D_BARRIER", "0") == "1":
+                x2 = jax.lax.optimization_barrier(x2)
             x2 = x2.astype(wf.dtype) / 255.0
         return jax.lax.conv_general_dilated(
             x2, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),

@@ -286,10 +286,10 @@ class Model:
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
                 outputs[i] = y
             collect = ctx.collect[corner_index]
-            corner_pr = collect["corner_pr"]
-            # ship only the per-position diff d = log pr_f - log pr_t: the
-            # host search needs nothing else and it halves the transfer
-            corner_diff = corner_pr[:, 0] - corner_pr[:, 1]
+            # ship only the per-position diff d = log pr_f - log pr_t (== 2z,
+            # see DeNetCornerLayer.apply): the host search needs nothing else
+            # and it halves the transfer
+            corner_diff = collect["corner_diff"]
             if return_sample:
                 return corner_diff, collect["sample"]
             return (corner_diff,)
@@ -321,8 +321,7 @@ class Model:
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
                 outputs[i] = y
             collect = ctx.collect[corner_index]
-            corner_pr = collect["corner_pr"]
-            diff = corner_pr[:, 0] - corner_pr[:, 1]
+            diff = collect["corner_diff"]
             bbox, pr, count = corner_search(
                 diff, sparse_layer.corner_threshold, sparse_layer.sample_num,
                 corner_k=corner_k, out_count=out_count,
@@ -387,8 +386,7 @@ class Model:
                 y, _ = self.layers[i].apply(params[i], state[i], outputs, ctx)
                 outputs[i] = y
             collect = ctx.collect[corner_index]
-            corner_pr = collect["corner_pr"]
-            diff = corner_pr[:, 0] - corner_pr[:, 1]
+            diff = collect["corner_diff"]
 
             if clustering:
                 from denet_tpu.ops.cluster_device import cluster_candidates
@@ -475,8 +473,7 @@ class Model:
                 y, _ = self.layers[i].apply(params[i], state[i], outputs,
                                             ctx)
                 outputs[i] = y
-            corner_pr = ctx.collect[corner_index]["corner_pr"]
-            diff = corner_pr[:, 0] - corner_pr[:, 1]
+            diff = ctx.collect[corner_index]["corner_diff"]
             _, _, count = corner_search(
                 diff, sparse.corner_threshold, sn, corner_k,
                 out_count=ref_cap, local_max=sparse.local_max)

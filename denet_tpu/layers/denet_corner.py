@@ -56,12 +56,26 @@ class DeNetCornerLayer(Layer):
         outs, new_states = self._apply_sublayers(params, state, x, ctx)
         y = outs[-1].astype(jnp.float32)
 
-        corner_lh = y[:, :self.corner_num]
-        corner_lh = jnp.stack([corner_lh, -corner_lh], axis=1)
+        z = y[:, :self.corner_num]
+        corner_lh = jnp.stack([z, -z], axis=1)
         corner_pr = log_softmax(corner_lh, axis=1)
         sample = y[:, self.corner_num:]
 
-        ctx.collect[self.layer_index] = {"corner_pr": corner_pr, "sample": sample}
+        # The corner search consumes only d = corner_pr[:,0] - corner_pr[:,1]
+        # = log_softmax([z,-z])[0] - [1] = z - (-z) = 2z: the logsumexp
+        # cancels EXACTLY, so inference paths read this precomputed diff and
+        # XLA dead-code-eliminates the whole exp/log tree from the fused
+        # detect jit (round-5 HLO audit: ~15% of estimated wide-model
+        # cycles).  corner_pr stays collected for the training cost.
+        # DENET_TPU_CORNER_DIFF=0 restores the legacy recomputation (A/B).
+        import os
+        if os.environ.get("DENET_TPU_CORNER_DIFF", "1") == "0":
+            corner_diff = corner_pr[:, 0] - corner_pr[:, 1]
+        else:
+            corner_diff = z + z
+        ctx.collect[self.layer_index] = {"corner_pr": corner_pr,
+                                         "corner_diff": corner_diff,
+                                         "sample": sample}
         return x, {"layers": new_states}
 
     @staticmethod

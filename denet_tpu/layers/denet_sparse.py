@@ -129,8 +129,8 @@ class DeNetSparseLayer(Layer):
         from denet_tpu.ops.corner_search_device import corner_search
         from denet_tpu.ops.target_device import select_samples
 
-        corner_pr = ctx.collect[self.corner_layer.layer_index]["corner_pr"]
-        diff = jax.lax.stop_gradient(corner_pr[:, 0] - corner_pr[:, 1])
+        diff = jax.lax.stop_gradient(
+            ctx.collect[self.corner_layer.layer_index]["corner_diff"])
         if not ctx.train:
             # eval-mode plain forward (e.g. the model-update-bn stats pass,
             # reference denet/model/update_bn.py): inference selection —

@@ -485,8 +485,7 @@ def build_quant_detect_fn(model, detect_layer, plan, pr_threshold,
             y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
             outputs[i] = y
         collect = ctx.collect[corner_index]
-        corner_pr = collect["corner_pr"]
-        diff = corner_pr[:, 0] - corner_pr[:, 1]
+        diff = collect["corner_diff"]
 
         bbox, pr, count = corner_search(diff, sparse.corner_threshold, sn,
                                         corner_k)

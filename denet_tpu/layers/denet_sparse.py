@@ -30,6 +30,13 @@ from denet_tpu.ops.sparse_gather import sparse_gather
 from denet_tpu.ops import native
 
 
+def _gather_impl():
+    """RoI-gather lowering, read at TRACE time (each jit build re-reads it;
+    see ops/sparse_gather.py docstring).  DENET_TPU_GATHER=nchw selects the
+    spatial take_along_axis variant for A/B (scripts/ab_gather.py)."""
+    return os.environ.get("DENET_TPU_GATHER", "flat")
+
+
 class DeNetSparseLayer(Layer):
     type_name = "denet-sparse"
 
@@ -92,9 +99,11 @@ class DeNetSparseLayer(Layer):
                 y = sgp.sparse_gather_pallas(sample_input, sample_bbox,
                                              self.grid_size)
             else:  # wide heads: the XLA gather is faster (see kernel notes)
-                y = sparse_gather(sample_input, sample_bbox, self.grid_size)
+                y = sparse_gather(sample_input, sample_bbox, self.grid_size,
+                                  impl=_gather_impl())
         else:
-            y = sparse_gather(sample_input, sample_bbox, self.grid_size)
+            y = sparse_gather(sample_input, sample_bbox, self.grid_size,
+                              impl=_gather_impl())
         return y, {}
 
     # caps on candidates entering the traced device clustering (bounds the

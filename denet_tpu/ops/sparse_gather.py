@@ -23,8 +23,19 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("grid_size",))
-def sparse_gather(sample_feat, sample_bbox, grid_size):
+@partial(jax.jit, static_argnames=("grid_size", "impl"))
+def sparse_gather(sample_feat, sample_bbox, grid_size, impl="flat"):
+    """impl selects the gather lowering (bitwise-identical results):
+
+    - "flat": transpose the feature map to an (B*H*W, F) table and do one
+      flat ``take`` (shipped default).  Pays a full NCHW->NHWC layout copy
+      of the feature map before the gather.
+    - "nchw": keep NCHW and ``take_along_axis`` over the flattened spatial
+      axis, then transpose only the gathered (B, F, sn, sn, gs, gs) result
+      into grid-major channel order — the layout copy shrinks from the
+      whole feature map to the gathered samples.  Round-5 A/B arm for the
+      HLO-audit gather lever (scripts/ab_gather.py).
+    """
     b, f, h, w = sample_feat.shape
     _, sn, sn2, _ = sample_bbox.shape
     gs = grid_size
@@ -45,16 +56,27 @@ def sparse_gather(sample_feat, sample_bbox, grid_size):
     sxi = jnp.floor(sxf + 0.5).astype(jnp.int32)
     syi = jnp.floor(syf + 0.5).astype(jnp.int32)
 
-    # flat (b*h*w) spatial index per (b, sj, si, gy, gx)
-    batch_ix = jnp.arange(b, dtype=jnp.int32)[:, None, None, None, None]
-    flat_ix = batch_ix * (h * w) + syi[..., :, None] * w + sxi[..., None, :]
+    if impl == "nchw":
+        # (b, sj, si, gy, gx) flat spatial index, batch kept as an axis
+        sp_ix = syi[..., :, None] * w + sxi[..., None, :]
+        featf = sample_feat.reshape(b, f, h * w)
+        gathered = jnp.take_along_axis(
+            featf, sp_ix.reshape(b, 1, sn * sn2 * gs * gs), axis=2)
+        gathered = gathered.reshape(b, f, sn, sn2, gs, gs)
+        sample = jnp.transpose(gathered, (0, 4, 5, 1, 2, 3)).reshape(
+            b, gs * gs * f, sn, sn2)
+    else:
+        # flat (b*h*w) spatial index per (b, sj, si, gy, gx)
+        batch_ix = jnp.arange(b, dtype=jnp.int32)[:, None, None, None, None]
+        flat_ix = (batch_ix * (h * w) + syi[..., :, None] * w +
+                   sxi[..., None, :])
 
-    # (b*h*w, f) gather table
-    table = jnp.transpose(sample_feat, (0, 2, 3, 1)).reshape(b * h * w, f)
-    gathered = jnp.take(table, flat_ix.reshape(-1), axis=0)
-    # (b, sn, sn, gs*gs*f) with grid-major channel order
-    gathered = gathered.reshape(b, sn, sn2, gs * gs * f)
-    sample = jnp.transpose(gathered, (0, 3, 1, 2))
+        # (b*h*w, f) gather table
+        table = jnp.transpose(sample_feat, (0, 2, 3, 1)).reshape(b * h * w, f)
+        gathered = jnp.take(table, flat_ix.reshape(-1), axis=0)
+        # (b, sn, sn, gs*gs*f) with grid-major channel order
+        gathered = gathered.reshape(b, sn, sn2, gs * gs * f)
+        sample = jnp.transpose(gathered, (0, 3, 1, 2))
 
     out = jnp.concatenate([sample, bh[:, None, :, :], bw[:, None, :, :]], axis=1)
     return out

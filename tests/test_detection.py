@@ -57,6 +57,11 @@ def test_sparse_gather_matches_naive(gs):
     ref = naive_sparse_gather(feat, bbox, gs)
     assert numpy.allclose(out, ref, atol=1e-5)
 
+    # the "nchw" lowering (round-5 gather A/B arm) is bitwise-identical
+    alt = numpy.asarray(sparse_gather(jnp.asarray(feat), jnp.asarray(bbox),
+                                      gs, impl="nchw"))
+    assert numpy.array_equal(out, alt)
+
 
 def test_sparse_gather_grad_is_scatter_add():
     """Sum-of-output gradient w.r.t. features counts how many grid points hit

@@ -43,6 +43,13 @@ def _main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--top", type=int, default=15)
+    p.add_argument("--train", action="store_true",
+                   help="audit the jitted TRAIN step (nesterov, device "
+                        "targets — the production training path) instead "
+                        "of the fused detect pipeline")
+    p.add_argument("--no-remat", action="store_true",
+                   help="with --train: disable SPLIT-boundary remat "
+                        "(the bench_train no-remat operating point)")
     args = p.parse_args(argv)
 
     import jax
@@ -73,12 +80,35 @@ def _main(argv=None):
         perturb_heads_host(model)
     model.ensure_on_device()
 
-    kw = {} if args.cluster_cap is None else {"cluster_cap": args.cluster_cap}
-    fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5, corner_k=256,
-                                    top_m=128, top_n=100, **kw)
-    x = numpy.zeros((batch, 3, size, size), numpy.uint8)
-    params = model.inference_params()
-    compiled = jax.jit(fn).lower(params, model.state, x).compile()
+    if args.train:
+        from denet_tpu.train.trainer import Trainer
+        trainer = Trainer(model, solver_mode="nesterov", seed=1,
+                          device_targets=True,
+                          use_remat=False if args.no_remat else None)
+        rng = numpy.random.RandomState(3)
+        x = rng.uniform(0, 1, (batch, 3, size, size)).astype(numpy.float32)
+        metas = []
+        for _ in range(batch):
+            n = rng.randint(1, 8)
+            x0, y0 = rng.uniform(0, 0.7, n), rng.uniform(0, 0.7, n)
+            w, h = rng.uniform(0.05, 0.3, n), rng.uniform(0.05, 0.3, n)
+            metas.append({"bbox": list(zip(x0, y0, x0 + w, y0 + h)),
+                          "class": rng.randint(0, 80, n).tolist()})
+        x = jnp.asarray(x)
+        targets, aux = trainer.prepare_targets(x, metas)
+        hyper = numpy.array([0, 0, 0.01, 0.9, 0.999, 1e-4], numpy.float32)
+        step = trainer._build_step()
+        compiled = step.lower(model.params, trainer.slots, model.state,
+                              x, targets, aux, hyper, trainer.rng).compile()
+    else:
+        kw = ({} if args.cluster_cap is None
+              else {"cluster_cap": args.cluster_cap})
+        fn = model.build_full_detect_fn(detect_layer, 0.01, 0.5,
+                                        corner_k=256, top_m=128, top_n=100,
+                                        **kw)
+        x = numpy.zeros((batch, 3, size, size), numpy.uint8)
+        params = model.inference_params()
+        compiled = jax.jit(fn).lower(params, model.state, x).compile()
     txt = compiled.as_text()
 
     ca = compiled.cost_analysis()

@@ -117,7 +117,10 @@ def _main(argv=None):
             y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
             outputs[i] = y
         c = ctx.collect[corner_index]
-        return c["corner_pr"][:, 0, 0, 0, 0], c["sample"][:, 0, 0, 0]
+        # corner_diff, not corner_pr: the shipped inference jits consume the
+        # precomputed diff (round-5 DCE) — reading corner_pr here would time
+        # the logsumexp tree the fused path no longer executes
+        return c["corner_diff"][:, 0, 0, 0], c["sample"][:, 0, 0, 0]
 
     timeit("trunk+corner-head", _keepalive(jax.jit(trunk_corner)),
            (params, model.state, x))
@@ -132,7 +135,7 @@ def _main(argv=None):
             y, _ = model.layers[i].apply(params[i], state[i], outputs, ctx)
             outputs[i] = y
         c = ctx.collect[corner_index]
-        diff = c["corner_pr"][:, 0] - c["corner_pr"][:, 1]
+        diff = c["corner_diff"]
         if args.v2:
             from denet_tpu.ops.cluster_device import cluster_candidates
             cap = min(10 * sn * sn,

@@ -226,11 +226,13 @@ def _main():
 
     # timed: full pipeline per batch, ALL detections materialized on host by
     # the end of the window (single stacked download: ~770KB for 40 batches).
-    # The FIRST full window after process start under-reads by up to 40%
-    # (relay steady-state effects, measured round 5: a cold window read
-    # 435-630 img/s while interleaved same-process windows read 723-795 —
-    # /tmp/ab_headline.log, PERF.md measurement rules), so run one full
-    # settle window untimed, then report the median of 3 timed windows.
+    # Early windows after process start under-read by up to 40%, improving
+    # over the first ~4-6 windows before plateauing (relay steady-state
+    # effects, measured round 5: a cold window read 435-630 img/s while
+    # steady same-process windows read 723-925 — /tmp/ab_headline.log,
+    # /tmp/ab_cornerdiff_skip.log, PERF.md measurement rules).  So settle
+    # UNTIL STEADY — run untimed windows until one is within 3% of its
+    # predecessor (at most 5) — then report the median of 3 timed windows.
     def window():
         t0 = time.time()
         rs = [fn(params, model.state, staged[i % n_staged])
@@ -242,7 +244,12 @@ def _main():
         assert len(results) == batch * iters
         return time.time() - t0
 
-    window()                                  # settle (untimed)
+    prev = window()                           # settle (untimed)
+    for _ in range(4):
+        cur = window()
+        if abs(prev - cur) / prev < 0.03:
+            break
+        prev = cur
     dts = sorted(window() for _ in range(3))
     dt = dts[1]                               # median window
     hz = batch * iters / dt

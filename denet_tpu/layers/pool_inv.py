@@ -5,7 +5,16 @@ with a ``tensor.repeat`` fallback; on TPU a plain ``jnp.repeat`` lowers to an
 XLA broadcast-reshape that is bandwidth-optimal, and its transpose (the
 gradient) lowers to a reduce — no Pallas kernel can beat it, so the repeat IS
 the optimized path here.
+
+``DENET_TPU_POOLINV=combined`` selects an alternative single-broadcast
+lowering (one (h,1,w,1)->(h,s,w,s) broadcast + reshape instead of two
+sequential axis repeats, skipping the (b,c,h*s,w) intermediate) for the
+round-5 HLO-audit A/B (scripts/ab_poolinv.py); element-for-element
+identical (tests/test_corner_diff.py has the pattern, see
+tests/test_layers.py::test_pool_inv_combined_lowering_matches_repeat).
 """
+import os
+
 import jax.numpy as jnp
 
 from denet_tpu.layers.base import Layer
@@ -23,7 +32,14 @@ class PoolInvLayer(Layer):
 
     def apply(self, params, state, outputs, ctx):
         x = outputs[self.input_index]
-        y = jnp.repeat(jnp.repeat(x, self.size[1], axis=2), self.size[0], axis=3)
+        sy, sx = self.size[1], self.size[0]
+        if os.environ.get("DENET_TPU_POOLINV", "repeat") == "combined":
+            b, c, h, w = x.shape
+            y = jnp.broadcast_to(x[:, :, :, None, :, None],
+                                 (b, c, h, sy, w, sx))
+            y = y.reshape(b, c, h * sy, w * sx)
+        else:
+            y = jnp.repeat(jnp.repeat(x, sy, axis=2), sx, axis=3)
         return y, {}
 
     @staticmethod

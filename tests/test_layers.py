@@ -100,6 +100,23 @@ def test_pool_inv():
     assert numpy.allclose(y[0, 0, :2, :2], x[0, 0, 0, 0])
 
 
+def test_pool_inv_combined_lowering_matches_repeat(monkeypatch):
+    """DENET_TPU_POOLINV=combined (single broadcast+reshape, round-5 HLO
+    A/B arm) must be element-for-element identical to the repeat default,
+    including asymmetric scale factors."""
+    x = numpy.random.RandomState(7).uniform(
+        -1, 1, (2, 3, 4, 5)).astype(numpy.float32)
+    outs = {}
+    for arm in ("repeat", "combined"):
+        monkeypatch.setenv("DENET_TPU_POOLINV", arm)
+        layers = [InitialLayer(x.shape)]
+        pi = PoolInvLayer(layers, size=(3, 2))   # (sx, sy) asymmetric
+        y, _, _ = run_layer(pi, {}, {}, x)
+        outs[arm] = numpy.asarray(y)
+    assert outs["repeat"].shape == outs["combined"].shape
+    numpy.testing.assert_array_equal(outs["repeat"], outs["combined"])
+
+
 def test_batch_norm_train_stats():
     """Mirrors the reference self-test (batch_norm.py:131-158): normalized
     output has ~zero mean / unit std and the EMAs move toward batch stats."""

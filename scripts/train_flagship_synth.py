@@ -419,6 +419,13 @@ def _main(argv=None):
         last_save = it0
         it = it0
         while it < args.steps:
+            if (prev_totals is not None
+                    and chiplock.lock_age(chiplock.LOCK_PATH) is not None):
+                # bench arriving: force the trailing chunk to finish inside
+                # a busy marker so we park with an empty device queue (the
+                # normal read below is then an idempotent re-read)
+                with chiplock.queue_busy():
+                    numpy.asarray(prev_totals)
             chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
             n = min(sk, args.steps - it)
             chunk = []
@@ -506,20 +513,26 @@ def _main(argv=None):
         save_due = (args.save_every and it + 1 < args.steps
                     and it + 1 - last_save >= args.save_every)
         if len(pending) >= K or save_due:
+            # drain INSIDE a busy marker, then yield: an arriving bench
+            # waits out this one K-step block (bench_lock polls the busy
+            # marker) and the trainer parks with an EMPTY device queue —
+            # yield-then-drain would park with K dispatched-unread steps
+            # whose remote execution could bleed into the timed windows
+            with chiplock.queue_busy():
+                vals = numpy.asarray(jnp.stack(pending))
+                pending = []
+                if not numpy.isfinite(vals).all():
+                    print("ABORT: non-finite cost at step %d" % it)
+                    return 1
+                if save_due:
+                    _save_ckpt(model_mod, model, trainer, np_snap, it + 1,
+                               args.out)
+                    last_save = it + 1
+                    if args.stop_after and last_save >= args.stop_after:
+                        print("stopping after checkpoint at step %d"
+                              % last_save, flush=True)
+                        return 0
             chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
-            vals = numpy.asarray(jnp.stack(pending))
-            pending = []
-            if not numpy.isfinite(vals).all():
-                print("ABORT: non-finite cost at step %d" % it)
-                return 1
-            if save_due:
-                _save_ckpt(model_mod, model, trainer, np_snap, it + 1,
-                           args.out)
-                last_save = it + 1
-                if args.stop_after and last_save >= args.stop_after:
-                    print("stopping after checkpoint at step %d"
-                          % last_save, flush=True)
-                    return 0
             if it % 128 < K:
                 dt = time.time() - t0
                 print("step %5d  cost %.4f  (%.1f img/s)" % (

@@ -1,17 +1,18 @@
 """Inverse pooling / nearest-neighbour upsample (`PI` desc token).
 
 The reference ships a custom CUDA kernel for this (denet/layer/pool_inv_op.py)
-with a ``tensor.repeat`` fallback; on TPU a plain ``jnp.repeat`` lowers to an
-XLA broadcast-reshape that is bandwidth-optimal, and its transpose (the
-gradient) lowers to a reduce — no Pallas kernel can beat it, so the repeat IS
-the optimized path here.
+with a ``tensor.repeat`` fallback; on TPU the whole upsample lowers as ONE
+(h,1,w,1)->(h,s,w,s) broadcast + reshape — bandwidth-optimal, and its
+transpose (the gradient) lowers to a reduce, so no Pallas kernel is needed.
 
-``DENET_TPU_POOLINV=combined`` selects an alternative single-broadcast
-lowering (one (h,1,w,1)->(h,s,w,s) broadcast + reshape instead of two
-sequential axis repeats, skipping the (b,c,h*s,w) intermediate) for the
-round-5 HLO-audit A/B (scripts/ab_poolinv.py); element-for-element
-identical (tests/test_corner_diff.py has the pattern, see
-tests/test_layers.py::test_pool_inv_combined_lowering_matches_repeat).
+The round-5 HLO-audit A/B (scripts/ab_poolinv.py, queue_r16) measured the
+single-broadcast lowering at +0.7% on the wide model with bitwise-identical
+detections and a 2.4x faster compile (14 s vs 34 s) versus two sequential
+``jnp.repeat`` calls (which materialize a (b,c,h*s,w) intermediate unless
+XLA fuses it), so ``combined`` is the shipping default.
+``DENET_TPU_POOLINV=repeat`` restores the legacy two-repeat lowering;
+element-for-element identical
+(tests/test_layers.py::test_pool_inv_combined_lowering_matches_repeat).
 """
 import os
 
@@ -33,13 +34,13 @@ class PoolInvLayer(Layer):
     def apply(self, params, state, outputs, ctx):
         x = outputs[self.input_index]
         sy, sx = self.size[1], self.size[0]
-        if os.environ.get("DENET_TPU_POOLINV", "repeat") == "combined":
+        if os.environ.get("DENET_TPU_POOLINV", "combined") == "repeat":
+            y = jnp.repeat(jnp.repeat(x, sy, axis=2), sx, axis=3)
+        else:
             b, c, h, w = x.shape
             y = jnp.broadcast_to(x[:, :, :, None, :, None],
                                  (b, c, h, sy, w, sx))
             y = y.reshape(b, c, h * sy, w * sx)
-        else:
-            y = jnp.repeat(jnp.repeat(x, sy, axis=2), sx, axis=3)
         return y, {}
 
     @staticmethod

@@ -97,6 +97,37 @@ def test_x768_eval_tiny(tiny_ckpt, tmp_path, capsys):
     assert m.data_shape[1] == 96           # surgery really resized
 
 
+def test_finetune_surgery_model_tiny(tiny_ckpt, tmp_path, capsys):
+    """The queue_r17 768-native fine-tune path: scale-surgery output fed
+    back into training via --init-model at the NEW size (--size follows
+    the surgery), with mid-run checkpointing — the reference's best
+    published row trains at 768 natively (README.md:128) rather than
+    relying on surgery + BN recalibration alone."""
+    import train_flagship_synth
+    import x768_eval
+
+    surg = str(tmp_path / "tiny_x96s.mdl.gz")
+    rc = x768_eval.main([
+        "--model", tiny_ckpt, "--out", surg, "--size", "96",
+        "--sample-num", "8", "--bn-batches", "1", "--eval-batches", "0",
+        "--bench-iters", "2", "--dist", "hard", "--tag", "smoke_ft",
+        "--baseline-hz", "1.0"])
+    capsys.readouterr()
+    assert rc == 0
+
+    ft = str(tmp_path / "tiny_x96_ft.mdl.gz")
+    rc = train_flagship_synth.main([
+        "--dist", "hard", "--eval-batches", "1", "--eval-soft-nms",
+        "--size", "96", "--batch", "2", "--class-num", str(CLASS_NUM),
+        "--steps", "4", "--lr", "0.002", "--save-every", "2",
+        "--init-model", surg, "--out", ft])
+    assert rc == 0
+    assert os.path.exists(ft)
+    from denet_tpu.core.model import load_from_file
+    m = load_from_file(ft, batch_size=2)
+    assert m.data_shape[1] == 96           # fine-tune kept the new size
+
+
 def test_profile_wide_tiny(tiny_ckpt, capsys):
     import profile_wide
     rc = profile_wide.main([

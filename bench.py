@@ -97,6 +97,16 @@ def main():
     # run: the relay serves ONE chip, and concurrent timed windows skew (or
     # stall) both sides.  Queue scripts poll yield_to_bench() between step
     # blocks and pause while this lock is fresh.
+    #
+    # A CPU-forced run (the test-suite smoke) never touches the chip, so it
+    # must not arbitrate: taking the real lock pauses a live trainer for a
+    # run that does not need the relay, and the entry wait on the trainer's
+    # queue-busy marker can pin the smoke for the whole block (or forever
+    # against a wedged holder whose keepalive thread still refreshes it).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        print("bench: CPU-forced (smoke) — skipping chip arbitration",
+              flush=True)
+        return _main()
     from denet_tpu.utils import chiplock
     with chiplock.bench_lock(log=lambda m: print(m, flush=True)):
         # the bench does NOT take the chip lease (a paused-but-alive lease

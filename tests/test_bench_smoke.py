@@ -15,6 +15,11 @@ def test_bench_smoke():
                          env=env, capture_output=True, text=True,
                          timeout=400, cwd=root)
     assert out.returncode == 0, out.stderr[-2000:]
+    # the CPU smoke must not arbitrate for the chip: taking the real
+    # /tmp bench lock pauses a live trainer, and waiting on its queue-busy
+    # marker can pin this test for the whole block (seen round 5: a wedged
+    # trainer's keepalive kept the marker fresh and the smoke timed out)
+    assert "skipping chip arbitration" in out.stdout
     line = out.stdout.strip().splitlines()[-1]
     r = json.loads(line)
     assert set(r) == {"metric", "value", "unit", "vs_baseline"}

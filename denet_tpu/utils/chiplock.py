@@ -306,8 +306,12 @@ def lock_age(path=LOCK_PATH):
 
 
 def yield_to_bench(path=LOCK_PATH, stale_s=STALE_S, max_wait_s=MAX_WAIT_S,
-                   poll_s=5.0, log=None):
-    """Block while a fresh bench lock exists.  Returns the seconds waited."""
+                   poll_s=5.0, log=None, on_poll=None):
+    """Block while a fresh bench lock exists.  Returns the seconds waited.
+
+    ``on_poll`` (if given) is called once per poll iteration — a pause here
+    is legitimate idleness, so callers with a stall watchdog pass its beat
+    to keep a long bench window from being mistaken for a relay wedge."""
     waited = 0.0
     while waited < max_wait_s:
         age = lock_age(path)
@@ -315,6 +319,8 @@ def yield_to_bench(path=LOCK_PATH, stale_s=STALE_S, max_wait_s=MAX_WAIT_S,
             return waited
         if log is not None and waited == 0.0:
             log("chip yield: bench lock present (age %.0fs), pausing" % age)
+        if on_poll is not None:
+            on_poll()
         time.sleep(poll_s)
         waited += poll_s
     return waited

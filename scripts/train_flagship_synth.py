@@ -46,6 +46,61 @@ def main(argv=None):
         return _main(argv)
 
 
+class _StallWatchdog:
+    """Abort the process when no forward progress happens for ``stall_s``
+    seconds (--stall-timeout).
+
+    The axon relay can wedge GLOBALLY (PERF.md round-5 "relay wedge
+    ROOT-CAUSED": the host-side tunnel stops draining the relay's stdout,
+    so every client blocks mid-send/mid-read).  The blocked main thread
+    sits in a native futex wait and never runs Python again, so no
+    in-thread timeout can fire — only a sibling thread can observe the
+    stall.  It exits with code 42 via os._exit (sys.exit would only raise
+    in the watchdog thread); the queue script's bounded-retry loop then
+    restarts from the newest --save-every sidecar instead of waiting out
+    the full block timeout against a dead link.
+
+    beat() marks progress; the poll interval is coarse (5 s) so the
+    thread costs nothing.  Legitimate long waits must keep beating:
+    yield_to_bench passes ``on_poll=beat`` so a bench pausing the trainer
+    for many minutes is not mistaken for a wedge.
+    """
+
+    def __init__(self, stall_s):
+        import threading
+        self.stall_s = float(stall_s)
+        self._last = time.time()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+
+    def beat(self, *_a, **_k):
+        self._last = time.time()
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def _watch(self):
+        while not self._stop.wait(5.0):
+            idle = time.time() - self._last
+            if idle > self.stall_s:
+                print("STALL WATCHDOG: no progress for %.0fs (> %.0fs) — "
+                      "relay wedge suspected, aborting for queue retry"
+                      % (idle, self.stall_s), flush=True)
+                _os._exit(42)
+
+
+_WD = None
+
+
+def _beat(*_a, **_k):
+    if _WD is not None:
+        _WD.beat()
+
+
 def _save_ckpt(model_mod, model, trainer, np_state, it, out):
     """Atomic mid-run checkpoint: model to `out`, trainer/rng state to
     `out`.resume.npz — both written to temp files then os.replace'd so a
@@ -206,7 +261,17 @@ def _main(argv=None):
                         "steps per dispatch via Trainer.train_steps "
                         "(lax.scan over the step body; lr is constant "
                         "within a chunk — boundaries land <=scan-1 late)")
+    p.add_argument("--stall-timeout", type=float, default=0,
+                   help="abort (exit 42) if no progress beat for this many "
+                        "seconds — converts a relay wedge into a fast queue "
+                        "retry from the newest --save-every sidecar; must "
+                        "exceed the worst compile + link transition "
+                        "(~600s at 768); 0 disables")
     args = p.parse_args(argv)
+
+    global _WD
+    if args.stall_timeout > 0:
+        _WD = _StallWatchdog(args.stall_timeout).start()
 
     import jax.numpy as jnp
 
@@ -426,7 +491,8 @@ def _main(argv=None):
                 # normal read below is then an idempotent re-read)
                 with chiplock.queue_busy():
                     numpy.asarray(prev_totals)
-            chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+            chiplock.yield_to_bench(log=lambda m: print(m, flush=True),
+                                    on_poll=_beat)
             n = min(sk, args.steps - it)
             chunk = []
             for j in range(n):
@@ -436,6 +502,7 @@ def _main(argv=None):
                                          [0.9, 0.999], 1e-4)
             if prev_totals is not None:   # read trails one chunk: overlap
                 vals = numpy.asarray(prev_totals)
+                _beat()
                 if not numpy.isfinite(vals).all():
                     bad = int(numpy.flatnonzero(~numpy.isfinite(vals))[0])
                     print("ABORT: non-finite cost at step %d" % (
@@ -460,6 +527,7 @@ def _main(argv=None):
                     return 1
                 _save_ckpt(model_mod, model, trainer, rng.get_state(), it,
                            args.out)
+                _beat()
                 last_save = it
                 if args.stop_after and last_save >= args.stop_after:
                     print("stopping after checkpoint at step %d"
@@ -520,6 +588,7 @@ def _main(argv=None):
             # whose remote execution could bleed into the timed windows
             with chiplock.queue_busy():
                 vals = numpy.asarray(jnp.stack(pending))
+                _beat()
                 pending = []
                 if not numpy.isfinite(vals).all():
                     print("ABORT: non-finite cost at step %d" % it)
@@ -527,12 +596,14 @@ def _main(argv=None):
                 if save_due:
                     _save_ckpt(model_mod, model, trainer, np_snap, it + 1,
                                args.out)
+                    _beat()
                     last_save = it + 1
                     if args.stop_after and last_save >= args.stop_after:
                         print("stopping after checkpoint at step %d"
                               % last_save, flush=True)
                         return 0
-            chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+            chiplock.yield_to_bench(log=lambda m: print(m, flush=True),
+                                    on_poll=_beat)
             if it % 128 < K:
                 dt = time.time() - t0
                 print("step %5d  cost %.4f  (%.1f img/s)" % (
@@ -581,12 +652,14 @@ def _run_final_eval(args, model):
         # whole pass (VERDICT r4 item 1a)
         dets = []
         for xs, metas in batches:
-            chiplock.yield_to_bench(log=lambda m: print(m, flush=True))
+            chiplock.yield_to_bench(log=lambda m: print(m, flush=True),
+                                    on_poll=_beat)
             with chiplock.queue_busy():
                 dets += detect_layer.get_detections(
                     model, xs, metas, {"prThreshold": 0.05,
                                        "nmsThreshold": 0.5,
                                        "useSoftNMS": soft})
+            _beat()
         print("eval[%s]:" % tag, flush=True)
         run_eval(model, dets, args.size, tag="  ")
 

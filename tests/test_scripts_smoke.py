@@ -179,3 +179,35 @@ def test_train_resume_bit_identical(tmp_path, scan):
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
         numpy.testing.assert_array_equal(x, y)
+
+
+def test_stall_watchdog_fires_and_beats():
+    """The watchdog converts a relay wedge (main thread blocked forever in
+    a remote call) into exit 42 so queue retry loops restart from the
+    newest sidecar; beats from progress points must keep it quiet."""
+    import subprocess
+    import textwrap
+
+    prog = textwrap.dedent("""
+        import sys, time
+        sys.path.insert(0, %r)
+        from train_flagship_synth import _StallWatchdog
+        wd = _StallWatchdog(%s).start()
+        for _ in range(%d):
+            time.sleep(0.2)
+            %s
+        print("SURVIVED", flush=True)
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # no beats: fires within ~stall_s + one 5s poll
+    out = subprocess.run(
+        [sys.executable, "-c", prog % (SCRIPTS, "0.3", 40, "pass")],
+        capture_output=True, text=True, timeout=60, env=env)
+    assert out.returncode == 42, (out.returncode, out.stdout, out.stderr)
+    assert "STALL WATCHDOG" in out.stdout
+    # beating faster than stall_s: survives to a clean exit
+    out = subprocess.run(
+        [sys.executable, "-c", prog % (SCRIPTS, "3.0", 30, "wd.beat()")],
+        capture_output=True, text=True, timeout=60, env=env)
+    assert out.returncode == 0, (out.returncode, out.stdout, out.stderr)
+    assert "SURVIVED" in out.stdout

@@ -515,3 +515,19 @@ def test_cluster_distinct2_knob_default_and_env():
         env={"DENET_TPU_CLUSTER_DISTINCT2": "1", "PATH": "/usr/bin:/bin",
              "JAX_PLATFORMS": "cpu"})
     assert out.stdout.strip() == "True", out.stderr[-500:]
+
+
+def test_auto_cap_opt_warns_on_unused_margin():
+    """auto_cap_opt accepts ``margin`` only for signature parity with
+    auto_cap and deliberately ignores it (escalation supersedes drift
+    headroom) — a caller passing a non-default margin must be told it gets
+    no headroom (ADVICE r4), and the default must stay silent."""
+    import warnings
+    from denet_tpu.ops.cluster_device import auto_cap_opt
+    sn2, b, tp = 576, 8, 0.0087
+    with pytest.warns(UserWarning, match="ignores margin"):
+        cap = auto_cap_opt([700] * 12, sn2, b, tp, margin=2.0)
+    assert cap == auto_cap_opt([700] * 12, sn2, b, tp)  # and changes nothing
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # default margin: no warning
+        auto_cap_opt([700] * 12, sn2, b, tp)
